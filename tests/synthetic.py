@@ -1,0 +1,149 @@
+"""Seeded synthetic scene generators for hermetic tests.
+
+The reference's only fixture (`tests/test_data_generator.h:9-42`) generates
+random plausible cameras (fixed K, random R/t) and random points — but it is
+UNSEEDED and has no images, so the photometric stages have zero coverage
+there. Here:
+
+  * `random_scene` reproduces the reference fixture's distribution
+    (angle spread +-90deg around axes, translation spread 10, offset
+    (0,0,-20), K = [1000,0,2000; 0,1000,1500; 0,0,1]) with a seed.
+  * `textured_plane_scene` adds what the reference lacks: cameras looking at
+    a textured plane (procedural smooth texture), with an analytic
+    plane-to-image homography renderer, so seeding/optimization/expansion
+    can be tested against ground-truth depth and normals.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+K_REF = np.array(
+    [[1000.0, 0.0, 2000.0], [0.0, 1000.0, 1500.0], [0.0, 0.0, 1.0]]
+)
+
+
+def _rot_xyz(rx, ry, rz):
+    cx, sx = np.cos(rx), np.sin(rx)
+    cy, sy = np.cos(ry), np.sin(ry)
+    cz, sz = np.cos(rz), np.sin(rz)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return Rz @ Ry @ Rx
+
+
+def random_scene(rng: np.random.Generator, num_views: int, num_points: int = 0):
+    """Random cameras + points with the reference fixture's distribution."""
+    Ps = []
+    for _ in range(num_views):
+        angles = rng.uniform(-np.pi / 2, np.pi / 2, size=3)
+        R = _rot_xyz(*angles)
+        t = rng.uniform(-5, 5, size=3) + np.array([0.0, 0.0, -20.0])
+        P = K_REF @ np.concatenate([R, t[:, None]], axis=1)
+        Ps.append(P)
+    points = rng.uniform(-5, 5, size=(num_points, 3))
+    return np.stack(Ps), points
+
+
+def smooth_texture(rng: np.random.Generator, size: int = 512) -> np.ndarray:
+    """Smooth random texture in [0, 255] with energy at several scales."""
+    tex = np.zeros((size, size))
+    for octave in (4, 8, 16, 32, 64):
+        noise = rng.standard_normal((octave, octave))
+        # Bilinear upsample to full size.
+        idx = np.linspace(0, octave - 1, size)
+        x0 = np.floor(idx).astype(int)
+        x1 = np.minimum(x0 + 1, octave - 1)
+        w = idx - x0
+        rows = noise[x0][:, x0] * np.outer(1 - w, 1 - w)
+        rows += noise[x0][:, x1] * np.outer(1 - w, w)
+        rows += noise[x1][:, x0] * np.outer(w, 1 - w)
+        rows += noise[x1][:, x1] * np.outer(w, w)
+        tex += rows * (octave ** 0.5)
+    tex -= tex.min()
+    tex *= 255.0 / max(tex.max(), 1e-9)
+    return tex
+
+
+class TexturedPlaneScene:
+    """Cameras in a ring looking at the textured plane z = 0.
+
+    World points (x, y, 0) carry texture value T(sx * x + off, sy * y + off).
+    Rendering a view evaluates, for every pixel, the ray/plane intersection
+    and bilinearly samples the texture — an exact (no-resampling-chain)
+    ground-truth image.
+    """
+
+    def __init__(
+        self,
+        rng: np.random.Generator,
+        num_views: int = 5,
+        width: int = 240,
+        height: int = 180,
+        focal: float = 300.0,
+        radius: float = 6.0,
+        tex_size: int = 1024,
+        plane_half_extent: float = 3.0,
+    ):
+        self.width, self.height = width, height
+        self.texture = smooth_texture(rng, tex_size)
+        self.tex_size = tex_size
+        self.half_extent = plane_half_extent
+        K = np.array(
+            [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1.0]]
+        )
+        self.K = K
+        Ps, Cs = [], []
+        for i in range(num_views):
+            # Slight ring around the plane normal, looking at the origin.
+            ang = (i - (num_views - 1) / 2.0) * (0.18 if num_views > 1 else 0.0)
+            tilt = 0.08 * np.sin(2.1 * i)
+            C = np.array(
+                [radius * np.sin(ang), radius * np.sin(tilt), -radius * np.cos(ang) * np.cos(tilt)]
+            )
+            z = -C / np.linalg.norm(C)  # look at origin
+            x = np.cross(np.array([0.0, 1.0, 0.0]), z)
+            x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            R = np.stack([x, y, z])  # world->cam rows
+            P = K @ np.concatenate([R, (-R @ C)[:, None]], axis=1)
+            Ps.append(P)
+            Cs.append(C)
+        self.P = np.stack(Ps)
+        self.C = np.stack(Cs)
+
+    def sample_texture(self, x, y):
+        """Bilinear texture lookup at plane coords (x, y) in world units."""
+        s = (self.tex_size - 1) / (2.0 * self.half_extent)
+        u = (np.asarray(x) + self.half_extent) * s
+        v = (np.asarray(y) + self.half_extent) * s
+        u = np.clip(u, 0, self.tex_size - 1.001)
+        v = np.clip(v, 0, self.tex_size - 1.001)
+        u0, v0 = np.floor(u).astype(int), np.floor(v).astype(int)
+        du, dv = u - u0, v - v0
+        T = self.texture
+        return (
+            T[v0, u0] * (1 - du) * (1 - dv)
+            + T[v0, u0 + 1] * du * (1 - dv)
+            + T[v0 + 1, u0] * (1 - du) * dv
+            + T[v0 + 1, u0 + 1] * du * dv
+        )
+
+    def render(self, view: int) -> np.ndarray:
+        """Render view by intersecting each pixel ray with the plane z=0."""
+        P = self.P[view]
+        M = P[:, :3]
+        Minv = np.linalg.inv(M)
+        C = self.C[view]
+        ys, xs = np.mgrid[0 : self.height, 0 : self.width]
+        pix = np.stack([xs + 0.0, ys + 0.0, np.ones_like(xs, dtype=float)], -1)
+        rays = pix @ Minv.T  # direction (not normalized) per pixel
+        # Intersect C + t*ray with z=0:  t = -C_z / ray_z
+        t = -C[2] / rays[..., 2]
+        px = C[0] + t * rays[..., 0]
+        py = C[1] + t * rays[..., 1]
+        img = self.sample_texture(px, py)
+        return img.astype(np.float32)
+
+    def render_all(self) -> np.ndarray:
+        return np.stack([self.render(v) for v in range(self.P.shape[0])])
