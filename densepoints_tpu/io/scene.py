@@ -1,0 +1,109 @@
+"""Scene file reader — reference-compatible JSON schema.
+
+Reference parity: `modules/io/json_reader.cpp:9-34` reads
+    {"imagesPath": "...",
+     "views": [{"filename": "...", "projectionMatrix": [[..4],[..4],[..4]]}]}
+via cereal and builds Views with absolute image paths. Same schema here, via
+the stdlib json module; image decoding is host-side (Pillow) and the camera
+decomposition runs in f64 on load, exactly like View::SetProjectionMatrix.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+
+import numpy as np
+
+from densepoints_tpu.core.cameras import Cameras
+
+__all__ = ["SceneSpec", "read_scene_json", "load_scene", "Scene"]
+
+
+@dataclasses.dataclass
+class SceneSpec:
+    """Parsed scene file: image paths + raw f64 projection matrices."""
+
+    image_paths: list[Path]
+    projection_matrices: np.ndarray  # (V, 3, 4) float64
+
+
+@dataclasses.dataclass
+class Scene:
+    """A loaded scene: batched cameras + image stack.
+
+    images: (V, H, W) float32 grayscale in [0, 255] (padded to common size).
+    colors: (V, H, W, 3) uint8 RGB for point coloring (optional).
+    """
+
+    cameras: Cameras
+    images: np.ndarray
+    colors: np.ndarray | None = None
+
+
+def read_scene_json(path) -> SceneSpec:
+    path = Path(path)
+    with open(path) as f:
+        data = json.load(f)
+    images_path = Path(data["imagesPath"])
+    if not images_path.is_absolute():
+        images_path = path.parent / images_path
+    paths, Ps = [], []
+    for view in data["views"]:
+        paths.append(images_path / view["filename"])
+        P = np.asarray(view["projectionMatrix"], dtype=np.float64)
+        if P.shape != (3, 4):
+            raise ValueError(f"projectionMatrix must be 3x4, got {P.shape}")
+        Ps.append(P)
+    return SceneSpec(paths, np.stack(Ps) if Ps else np.zeros((0, 3, 4)))
+
+
+def _luminance(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 luma, matching OpenCV's RGB->gray weights.
+
+    The reference converts warped color patches with cv::cvtColor
+    (error_measurements.cpp:9) which uses 0.299 R + 0.587 G + 0.114 B.
+    """
+    return (
+        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    ).astype(np.float32)
+
+
+def load_scene(path, keep_color: bool = True, drop_missing: bool = True) -> Scene:
+    """Read a scene JSON and decode its images into padded stacks.
+
+    Views whose image cannot be loaded are dropped, mirroring
+    `PMVS::AddCamera` (pmvs.cpp:15-19).
+    """
+    from PIL import Image
+
+    spec = read_scene_json(path)
+    grays, colors, Ps, sizes = [], [], [], []
+    for img_path, P in zip(spec.image_paths, spec.projection_matrices):
+        try:
+            with Image.open(img_path) as im:
+                rgb = np.asarray(im.convert("RGB"))
+        except (FileNotFoundError, OSError):
+            if drop_missing:
+                continue
+            raise
+        grays.append(_luminance(rgb))
+        colors.append(rgb)
+        Ps.append(P)
+        sizes.append(rgb.shape[:2])
+    if not grays:
+        raise ValueError(f"No loadable views in scene {path}")
+    H = max(s[0] for s in sizes)
+    W = max(s[1] for s in sizes)
+    V = len(grays)
+    images = np.zeros((V, H, W), np.float32)
+    colstack = np.zeros((V, H, W, 3), np.uint8)
+    for i, (g, c) in enumerate(zip(grays, colors)):
+        images[i, : g.shape[0], : g.shape[1]] = g
+        colstack[i, : c.shape[0], : c.shape[1]] = c
+    cams = Cameras.from_projection_matrices(
+        np.stack(Ps),
+        widths=[s[1] for s in sizes],
+        heights=[s[0] for s in sizes],
+    )
+    return Scene(cams, images, colstack if keep_color else None)
