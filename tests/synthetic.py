@@ -48,7 +48,7 @@ def random_scene(rng: np.random.Generator, num_views: int, num_points: int = 0):
 def smooth_texture(rng: np.random.Generator, size: int = 512) -> np.ndarray:
     """Smooth random texture in [0, 255] with energy at several scales."""
     tex = np.zeros((size, size))
-    for octave in (4, 8, 16, 32, 64):
+    for octave in (4, 8, 16, 32, 64, 128, 256):
         noise = rng.standard_normal((octave, octave))
         # Bilinear upsample to full size.
         idx = np.linspace(0, octave - 1, size)
