@@ -1,0 +1,235 @@
+"""Photometric patch optimization and NCC-based visibility filtering.
+
+Reference parity: `methods/pmvs/optimization.cpp` + `optimization_opencv.cpp`:
+
+  * parametrization (depth, roll, pitch): depth along the reference ray
+    RELATIVE to the current position (position' = C + (1+depth)(p - C)),
+    compositional rotation of the normal by the reference's explicit
+    roll/pitch matrix (optimization.cpp:78-96);
+  * objective: mean over non-anchor visible views of (1 - NCC(tex_anchor,
+    tex_v)) in [0, 2]; invalid warps score NCC = -1 (-> penalty 2); no
+    scorable views -> 2 (optimization_opencv.cpp:14-39). The anchor is the
+    FIRST truly-visible view (the reference view itself is excluded from the
+    visible list, so textures[0] belongs to the first visible view);
+  * solver: Nelder-Mead from x0 = 0 with init step (0.02, 0.2, 0.2),
+    <= 500 iterations, eps 1e-4 (optimization_opencv.cpp:55-64), batched
+    over every patch at once via ops/simplex.py;
+  * filter: per visible non-anchor view NCC against the anchor texture;
+    views under `score_threshold` (0.6) are dropped from the visible mask,
+    and the patch dies if fewer than `min_visible_views` (3) remain
+    (optimization.cpp:98-132).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from densepoints_tpu.config import OptimizeConfig
+from densepoints_tpu.core.cameras import Cameras
+from densepoints_tpu.core.scores import ncc_score
+from densepoints_tpu.ops.simplex import nelder_mead
+from densepoints_tpu.ops.warp import patch_textures
+from densepoints_tpu.pmvs.patch import PatchState
+
+__all__ = [
+    "parametrize",
+    "unparametrize",
+    "patch_ncc_scores",
+    "photometric_objective",
+    "filter_by_error",
+    "optimize_patches",
+]
+
+
+def parametrize(cameras: Cameras, position, normal, ref):
+    """(depth, roll, pitch) of the current patch pose (optimization.cpp:58-76).
+
+    Informational/diagnostic (the solver always starts at 0 relative).
+    """
+    C = cameras.C[ref]
+    depth = jnp.linalg.norm(position - C, axis=-1)
+    x_axis = cameras.x_axis[ref]
+    y_axis = jnp.cross(normal, x_axis)
+    z_axis = jnp.cross(x_axis, y_axis)
+    roll = jnp.arctan2(z_axis[..., 1], z_axis[..., 2])
+    pitch = jnp.arctan2(
+        -z_axis[..., 0],
+        jnp.sqrt(z_axis[..., 1] ** 2 + z_axis[..., 2] ** 2),
+    )
+    return depth, roll, pitch
+
+
+def _rotation(roll, pitch):
+    """The reference's explicit roll/pitch rotation (optimization.cpp:84-93)."""
+    ca, sa = jnp.cos(roll), jnp.sin(roll)
+    cb, sb = jnp.cos(pitch), jnp.sin(pitch)
+    zero = jnp.zeros_like(ca)
+    return jnp.stack(
+        [
+            jnp.stack([cb, zero, -sb], -1),
+            jnp.stack([sa * sb, ca, cb * sa], -1),
+            jnp.stack([ca * sb, -sa, ca * cb], -1),
+        ],
+        -2,
+    )  # (..., 3, 3)
+
+
+def unparametrize(params, position0, normal0, C_ref):
+    """Apply relative (depth, roll, pitch) to the starting pose.
+
+    params: (..., 3); position0/normal0/C_ref broadcastable (..., 3).
+    """
+    depth = params[..., 0:1]
+    position = C_ref + (1.0 + depth) * (position0 - C_ref)
+    R = _rotation(params[..., 1], params[..., 2])
+    normal = jnp.einsum("...ij,...j->...i", R, normal0)
+    return position, normal
+
+
+def patch_ncc_scores(
+    images: jax.Array,
+    cameras: Cameras,
+    position: jax.Array,
+    normal: jax.Array,
+    ref: jax.Array,
+    vis: jax.Array,
+    texture_size: int,
+):
+    """Per-view NCC against the anchor (first visible) view's texture.
+
+    Returns (scores (B, V), anchor (B,), valid (B, V)). scores[b, v] is only
+    meaningful where vis[b, v]; the anchor column scores 1 against itself.
+    Views whose warp is invalid (any corner outside) score -1, matching the
+    reference's empty-texture sentinel.
+    """
+    tex, valid = patch_textures(
+        images, cameras, position, normal, ref, vis, texture_size
+    )
+    B, V, k, _ = tex.shape
+    anchor = jnp.argmax(vis, axis=1)  # first visible view id
+    anchor_tex = jnp.take_along_axis(
+        tex, anchor[:, None, None, None], axis=1
+    )  # (B, 1, k, k)
+    anchor_valid = jnp.take_along_axis(valid, anchor[:, None], axis=1)  # (B,1)
+    flat = tex.reshape(B, V, k * k)
+    aflat = jnp.broadcast_to(anchor_tex.reshape(B, 1, k * k), flat.shape)
+    scores = ncc_score(aflat, flat)  # (B, V)
+    pair_valid = valid & anchor_valid
+    scores = jnp.where(pair_valid, scores, -1.0)
+    return scores, anchor, valid
+
+
+def photometric_objective(
+    images: jax.Array,
+    cameras: Cameras,
+    position0: jax.Array,
+    normal0: jax.Array,
+    ref: jax.Array,
+    vis: jax.Array,
+    texture_size: int,
+):
+    """Build the batched objective f(params (B, K, 3)) -> (B, K)."""
+    C_ref = cameras.C[ref]  # (B, 3)
+
+    def f(params: jax.Array) -> jax.Array:
+        B, K, _ = params.shape
+        pos, nrm = unparametrize(
+            params, position0[:, None, :], normal0[:, None, :], C_ref[:, None, :]
+        )
+        pos = pos.reshape(B * K, 3)
+        nrm = nrm.reshape(B * K, 3)
+        ref_bk = jnp.repeat(ref, K)
+        vis_bk = jnp.repeat(vis, K, axis=0)
+        scores, anchor, _ = patch_ncc_scores(
+            images, cameras, pos, nrm, ref_bk, vis_bk, texture_size
+        )
+        counted = vis_bk & (
+            jnp.arange(vis.shape[1])[None, :] != anchor[:, None]
+        )
+        err = jnp.where(counted, 1.0 - scores, 0.0)
+        n = jnp.sum(counted, axis=1)
+        cost = jnp.where(
+            n > 0, jnp.sum(err, axis=1) / jnp.maximum(n, 1), 2.0
+        )
+        return cost.reshape(B, K)
+
+    return f
+
+
+def filter_by_error(
+    images: jax.Array,
+    cameras: Cameras,
+    state: PatchState,
+    texture_size: int,
+    config: OptimizeConfig = OptimizeConfig(),
+) -> PatchState:
+    """NCC visibility pruning + patch rejection (optimization.cpp:98-132)."""
+    scores, anchor, _ = patch_ncc_scores(
+        images,
+        cameras,
+        state.position,
+        state.normal,
+        state.ref,
+        state.vis,
+        texture_size,
+    )
+    V = state.num_views
+    is_anchor = jnp.arange(V)[None, :] == anchor[:, None]
+    keep_view = is_anchor | (scores >= config.score_threshold)
+    new_vis = state.vis & keep_view
+    n_scorable = jnp.sum(state.vis & ~is_anchor, axis=1)
+    n_after = jnp.sum(new_vis, axis=1)
+    alive = (
+        state.alive
+        & (n_scorable > 0)  # "empty scores -> false"
+        & (n_after >= config.min_visible_views)
+    )
+    return dataclasses.replace(state, vis=new_vis, alive=alive)
+
+
+def optimize_patches(
+    images: jax.Array,
+    cameras: Cameras,
+    state: PatchState,
+    texture_size: int,
+    config: OptimizeConfig = OptimizeConfig(),
+) -> PatchState:
+    """Batched (depth, roll, pitch) refinement of every patch.
+
+    Mirrors `OptimizationOpenCV::Optimize` (always "succeeds"; positions and
+    normals are overwritten with the minimizer result — dead patches keep
+    their pose).
+    """
+    f = photometric_objective(
+        images,
+        cameras,
+        state.position,
+        state.normal,
+        state.ref,
+        state.vis,
+        texture_size,
+    )
+    B = state.capacity
+    x0 = jnp.zeros((B, 3), state.position.dtype)
+    init_step = jnp.asarray(
+        [config.init_step_depth, config.init_step_angle, config.init_step_angle],
+        state.position.dtype,
+    )
+    x_best, _, _ = nelder_mead(
+        f,
+        x0,
+        init_step,
+        max_iterations=config.max_iterations,
+        tolerance=config.tolerance,
+    )
+    pos, nrm = unparametrize(
+        x_best, state.position, state.normal, cameras.C[state.ref]
+    )
+    keep = state.alive[:, None]
+    return dataclasses.replace(
+        state,
+        position=jnp.where(keep, pos, state.position),
+        normal=jnp.where(keep, nrm, state.normal),
+    )

@@ -1,0 +1,129 @@
+"""Photometric optimization tests on the textured-plane ground truth."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from densepoints_tpu.config import OptimizeConfig
+from densepoints_tpu.core import Cameras
+from densepoints_tpu.pmvs import (
+    PatchState,
+    filter_by_error,
+    optimize_patches,
+    photometric_objective,
+    unparametrize,
+)
+from tests.synthetic import TexturedPlaneScene
+
+
+def _setup(rng, num_views=5):
+    scene = TexturedPlaneScene(rng, num_views=num_views, width=200, height=160)
+    cams = Cameras.from_projection_matrices(
+        scene.P, widths=scene.width, heights=scene.height
+    )
+    images = jnp.asarray(scene.render_all())
+    return scene, cams, images
+
+
+def _plane_patches(scene, cams, pts_xy, ref=0):
+    B = len(pts_xy)
+    position = np.zeros((B, 3), np.float32)
+    position[:, :2] = pts_xy
+    # Normal away from the reference camera (cameras at z<0 -> +z).
+    normal = np.tile([0.0, 0.0, 1.0], (B, 1)).astype(np.float32)
+    refs = np.full((B,), ref, np.int32)
+    vis = np.ones((B, cams.num_views), bool)
+    vis[:, ref] = False
+    return PatchState.create(position, normal, refs, vis)
+
+
+def test_unparametrize_identity():
+    p0 = jnp.asarray([[1.0, 2.0, 3.0]])
+    n0 = jnp.asarray([[0.0, 0.0, 1.0]])
+    C = jnp.asarray([[0.0, 0.0, -5.0]])
+    pos, nrm = unparametrize(jnp.zeros((1, 3)), p0, n0, C)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(p0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nrm), np.asarray(n0), atol=1e-6)
+
+
+def test_unparametrize_depth_moves_along_ray():
+    p0 = jnp.asarray([[0.0, 0.0, 0.0]])
+    n0 = jnp.asarray([[0.0, 0.0, 1.0]])
+    C = jnp.asarray([[0.0, 0.0, -5.0]])
+    pos, _ = unparametrize(jnp.asarray([[0.1, 0.0, 0.0]]), p0, n0, C)
+    # position = C + 1.1 (p0 - C) -> z = -5 + 1.1*5 = 0.5
+    np.testing.assert_allclose(np.asarray(pos)[0], [0, 0, 0.5], atol=1e-5)
+
+
+def test_objective_zero_params_true_patch_low_cost(rng):
+    scene, cams, images = _setup(rng)
+    state = _plane_patches(scene, cams, [(0.0, 0.0), (0.4, -0.2)])
+    f = photometric_objective(
+        images, cams, state.position, state.normal, state.ref, state.vis, 16
+    )
+    cost = np.asarray(f(jnp.zeros((2, 1, 3))))[:, 0]
+    assert np.all(cost < 0.25), cost  # 1 - NCC with NCC > 0.75
+
+
+def test_objective_wrong_depth_higher_cost(rng):
+    scene, cams, images = _setup(rng)
+    state = _plane_patches(scene, cams, [(0.0, 0.0)])
+    f = photometric_objective(
+        images, cams, state.position, state.normal, state.ref, state.vis, 16
+    )
+    costs = np.asarray(
+        f(jnp.asarray([[[0.0, 0.0, 0.0], [0.03, 0.0, 0.0], [-0.03, 0.0, 0.0]]]))
+    )[0]
+    assert costs[0] < costs[1] and costs[0] < costs[2], costs
+
+
+def test_optimize_recovers_depth(rng):
+    scene, cams, images = _setup(rng)
+    state = _plane_patches(scene, cams, [(0.0, 0.0), (0.5, 0.3), (-0.4, 0.2)])
+    # Perturb positions along the reference ray by ~1.5% of depth.
+    C = np.asarray(cams.C)[0]
+    pos = np.asarray(state.position)
+    perturbed = C + (pos - C) * np.array([[1.015], [0.985], [1.012]])
+    state = dataclasses.replace(
+        state, position=jnp.asarray(perturbed, jnp.float32)
+    )
+    z_before = np.abs(np.asarray(state.position)[:, 2])
+    cfg = OptimizeConfig(max_iterations=120)
+    out = optimize_patches(images, cams, state, 16, cfg)
+    z_after = np.abs(np.asarray(out.position)[:, 2])
+    # The plane is z=0: optimized patches must return to it within the
+    # photometric limit (~half the 0.02-world-unit pixel footprint).
+    assert np.all(z_after < z_before * 0.5), (z_before, z_after)
+    assert np.all(z_after < 0.02), z_after
+
+
+def test_filter_keeps_true_patches_kills_floaters(rng):
+    scene, cams, images = _setup(rng)
+    good = _plane_patches(scene, cams, [(0.0, 0.0), (0.4, -0.2)])
+    # Floater: off-plane by a lot.
+    bad_pos = np.array([[0.0, 0.0, 1.5]], np.float32)
+    bad = PatchState.create(
+        bad_pos,
+        np.array([[0.0, 0.0, 1.0]], np.float32),
+        np.array([0], np.int32),
+        np.asarray(good.vis)[:1],
+    )
+    state = good.concatenate(bad)
+    out = filter_by_error(images, cams, state, 16)
+    alive = np.asarray(out.alive)
+    assert alive[0] and alive[1], "true plane patches must survive the filter"
+    assert not alive[2], "floater must be rejected"
+
+
+def test_filter_min_views_rule(rng):
+    scene, cams, images = _setup(rng, num_views=3)
+    state = _plane_patches(scene, cams, [(0.0, 0.0)])
+    # Only 2 visible views (ref excluded) -> even perfect NCC leaves
+    # 2 < min_visible_views=3 -> dead.
+    out = filter_by_error(images, cams, state, 16)
+    assert not np.asarray(out.alive)[0]
+    # With min_visible_views=2 it survives.
+    out2 = filter_by_error(
+        images, cams, state, 16, OptimizeConfig(min_visible_views=2)
+    )
+    assert np.asarray(out2.alive)[0]
