@@ -21,6 +21,8 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test gets the same fresh seeded stream, so
+    # outcomes never depend on execution order.
     return np.random.default_rng(0)
