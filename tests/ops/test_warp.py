@@ -62,7 +62,10 @@ def test_wrong_normal_lowers_ncc(rng):
     position = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
     good_n = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
     # A strongly tilted normal produces inconsistent warps across views.
-    bad_n = jnp.asarray([[0.9, 0.0, -np.sqrt(1 - 0.81)]], jnp.float32)
+    # Tilt about the camera x-axis: keeps |y| = |n x x_axis| = 1 so the
+    # patch extent (and thus resampling blur) matches the good patch and
+    # the comparison isolates geometric consistency.
+    bad_n = jnp.asarray([[0.0, 0.9, -np.sqrt(1 - 0.81)]], jnp.float32)
     ref = jnp.zeros((1,), jnp.int32)
     mask = jnp.ones((1, cams.num_views), bool)
     tg, _ = patch_textures(images, cams, position, good_n, ref, mask, 16)
