@@ -1,0 +1,141 @@
+"""Seed generation: detector -> matcher -> tracks -> triangulation -> patches.
+
+Reference parity: `Matcher::GenerateSeeds` (matcher.cpp:18-43) +
+`Seed::ConvertSeedsToPatches` / `CreatePatchesFromPoints` (seed.cpp:20-86):
+reference view = nearest camera center, normal = unit(point - C_ref),
+then visibility classification, NCC filter, and simplex optimization.
+
+All numeric stages are batched device ops; only track assembly runs on the
+host (integer union-find).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densepoints_tpu.config import MatchingConfig, OptimizeConfig, SeedConfig
+from densepoints_tpu.core.cameras import Cameras
+from densepoints_tpu.features.descriptors import brief_pattern, compute_descriptors
+from densepoints_tpu.features.detector import detect_keypoints
+from densepoints_tpu.features.matching import (
+    direct_epipolar_pair,
+    filter_matches_epipolar,
+    match_pair,
+)
+from densepoints_tpu.features.tracks import build_tracks, triangulate_tracks
+from densepoints_tpu.geometry.fundamental import fundamental_matrices_for_pairs
+from densepoints_tpu.pmvs.patch import PatchState
+from densepoints_tpu.pmvs.visibility import classify_views
+from densepoints_tpu.utils import log
+
+__all__ = ["generate_seed_points", "create_patches_from_points", "default_pairs"]
+
+
+def default_pairs(num_views: int) -> np.ndarray:
+    """All unordered view pairs (matcher.cpp:185-204)."""
+    a, b = np.triu_indices(num_views, k=1)
+    return np.stack([a, b], axis=1).astype(np.int32)
+
+
+def generate_seed_points(
+    images: jax.Array,
+    cameras: Cameras,
+    config: MatchingConfig = MatchingConfig(),
+    pairs: np.ndarray | None = None,
+):
+    """Detect, match, track and triangulate -> (S, 3) seed points (host).
+
+    Also returns the track masks for diagnostics: (points, obs, mask).
+    """
+    V = cameras.num_views
+    if pairs is None:
+        pairs = default_pairs(V)
+    xy, resp, valid = detect_keypoints(
+        images,
+        cell_size=config.keypoint_cell_size,
+        max_per_cell=config.max_keypoints_per_cell,
+        max_keypoints=config.max_keypoints_per_view,
+        k=config.harris_k,
+        border=config.descriptor_patch_radius + 1,
+    )
+    log.info(
+        "detected keypoints per view: %s",
+        np.asarray(jnp.sum(valid, axis=1)).tolist(),
+    )
+    F_pairs = fundamental_matrices_for_pairs(
+        np.asarray(cameras.P, np.float64), pairs
+    ).astype(np.float32)
+    F_dev = jnp.asarray(F_pairs)
+    i1 = jnp.asarray(pairs[:, 0])
+    i2 = jnp.asarray(pairs[:, 1])
+
+    if config.matcher == "hamming_knn":
+        pattern = jnp.asarray(
+            brief_pattern(config.descriptor_bits, config.descriptor_patch_radius)
+        )
+        desc = compute_descriptors(images, xy, pattern)
+
+        def _one(F, a, b):
+            m, _ = match_pair(
+                desc[a], desc[b], valid[a], valid[b], config.lowe_ratio
+            )
+            return filter_matches_epipolar(
+                F, xy[a], xy[b], m, config.max_epipolar_distance
+            )
+
+        matches = jax.vmap(_one)(F_dev, i1, i2)
+    elif config.matcher == "epipolar":
+
+        def _one(F, a, b):
+            m, _ = direct_epipolar_pair(
+                F, xy[a], xy[b], valid[a], valid[b], config.max_epipolar_distance
+            )
+            return m
+
+        matches = jax.vmap(_one)(F_dev, i1, i2)
+    else:
+        raise ValueError(f"unknown matcher {config.matcher!r}")
+
+    n_matches = np.asarray(jnp.sum(matches >= 0, axis=1))
+    log.info("matches per pair: %s", n_matches.tolist())
+
+    obs, mask, _ = build_tracks(
+        V, np.asarray(xy), pairs, np.asarray(matches), min_views=2
+    )
+    points = triangulate_tracks(np.asarray(cameras.P), obs, mask)
+    log.info("tracks: %d -> seed points", len(points))
+    return points, obs, mask
+
+
+def create_patches_from_points(
+    cameras: Cameras,
+    points: np.ndarray,
+    optimize_config: OptimizeConfig = OptimizeConfig(),
+    seed_config: SeedConfig = SeedConfig(),
+) -> PatchState:
+    """Seed patches from triangulated points (seed.cpp:26-86 semantics)."""
+    points = jnp.asarray(points, jnp.float32)
+    if points.shape[0] > seed_config.max_seeds:
+        points = points[: seed_config.max_seeds]
+    # Reference image: nearest camera center.
+    d = jnp.linalg.norm(
+        points[:, None, :] - cameras.C[None, :, :], axis=-1
+    )  # (S, V)
+    ref = jnp.argmin(d, axis=1).astype(jnp.int32)
+    C_ref = cameras.C[ref]
+    rays = points - C_ref
+    normal = rays / jnp.maximum(
+        jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-12
+    )
+    vis, cand = classify_views(
+        cameras,
+        points,
+        normal,
+        ref,
+        optimize_config.visible_angle,
+        optimize_config.candidate_angle,
+    )
+    return PatchState.create(points, normal, ref, vis, cand)

@@ -1,0 +1,66 @@
+"""End-to-end seed generation on the textured plane: the triangulated seed
+points must land on z = 0 and the resulting patches must survive the NCC
+filter and optimize cleanly."""
+import jax.numpy as jnp
+import numpy as np
+
+from densepoints_tpu.config import MatchingConfig, OptimizeConfig
+from densepoints_tpu.core import Cameras
+from densepoints_tpu.pmvs import filter_by_error, optimize_patches
+from densepoints_tpu.pmvs.seed import (
+    create_patches_from_points,
+    default_pairs,
+    generate_seed_points,
+)
+from tests.synthetic import TexturedPlaneScene
+
+
+def test_default_pairs():
+    pairs = default_pairs(4)
+    assert pairs.tolist() == [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]]
+
+
+def _setup(rng, num_views=5):
+    scene = TexturedPlaneScene(rng, num_views=num_views, width=200, height=160)
+    cams = Cameras.from_projection_matrices(
+        scene.P, widths=scene.width, heights=scene.height
+    )
+    images = jnp.asarray(scene.render_all())
+    return scene, cams, images
+
+
+def test_seed_points_on_plane(rng):
+    scene, cams, images = _setup(rng)
+    cfg = MatchingConfig(max_keypoints_per_view=512)
+    points, obs, mask = generate_seed_points(images, cams, cfg)
+    assert len(points) >= 50, f"only {len(points)} seed points"
+    z = np.abs(points[:, 2])
+    # Most tracks triangulate onto the plane (bad matches allowed; they are
+    # filtered by NCC downstream).
+    assert np.median(z) < 0.05, np.median(z)
+
+
+def test_seed_to_patches_pipeline(rng):
+    scene, cams, images = _setup(rng)
+    cfg = MatchingConfig(max_keypoints_per_view=384)
+    points, _, _ = generate_seed_points(images, cams, cfg)
+    state = create_patches_from_points(cams, points)
+    assert state.capacity == len(points)
+    # Normals point away from the ref camera: +z for cameras at z < 0.
+    nz = np.asarray(state.normal)[:, 2]
+    on_plane = np.abs(points[:, 2]) < 0.05
+    assert np.all(nz[on_plane] > 0.5)
+    # Reference NCC filter kills floaters, keeps most plane patches.
+    filtered = filter_by_error(images, cams, state, 16)
+    alive = np.asarray(filtered.alive)
+    assert alive.sum() >= min(30, on_plane.sum() // 2)
+    floaters = np.abs(points[:, 2]) > 0.3
+    if floaters.any():
+        assert alive[floaters].mean() < 0.5
+    # Optimization pulls surviving patches tighter onto the plane.
+    opt = optimize_patches(
+        images, cams, filtered, 16, OptimizeConfig(max_iterations=60)
+    )
+    z_before = np.abs(np.asarray(filtered.position)[alive, 2])
+    z_after = np.abs(np.asarray(opt.position)[alive, 2])
+    assert np.median(z_after) <= np.median(z_before) + 1e-3
