@@ -1,0 +1,66 @@
+"""`densify` command-line interface.
+
+Reference parity: `programs/densify/main.cpp:12-40` — flags `-i/--input`
+scene JSON (required) and `-s/--settings` (which the reference parses but
+never uses; here it actually loads the config tree), plus output/surface
+flags the reference lacked because its export stages were missing.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from densepoints_tpu.config import PipelineConfig, load_config
+from densepoints_tpu.utils import log
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="densify",
+        description="TPU-native PMVS-style multi-view stereo densification",
+    )
+    p.add_argument("-i", "--input", required=True, help="scene JSON file")
+    p.add_argument("-s", "--settings", help="pipeline config JSON")
+    p.add_argument(
+        "-o", "--output", default="cloud.ply", help="output point cloud (.ply)"
+    )
+    p.add_argument("--ascii", action="store_true", help="write ascii PLY")
+    p.add_argument(
+        "--mesh", help="also extract a surface mesh to this path (.ply)"
+    )
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    config = load_config(args.settings) if args.settings else PipelineConfig()
+
+    from densepoints_tpu.io.scene import load_scene
+    from densepoints_tpu.pmvs.pipeline import densify
+
+    scene = load_scene(args.input)
+    log.info("scene: %d views", scene.cameras.num_views)
+    result = densify(scene, config)
+    result.save_ply(args.output, binary=not args.ascii)
+    log.info("wrote %d points to %s", len(result.positions), args.output)
+
+    if args.mesh:
+        from densepoints_tpu.surface.tsdf import extract_surface
+
+        verts, faces = extract_surface(
+            result.positions, result.normals, config.surface
+        )
+        from densepoints_tpu.io.ply import write_mesh_ply
+
+        write_mesh_ply(args.mesh, verts, faces)
+        log.info(
+            "wrote mesh with %d vertices / %d faces to %s",
+            len(verts),
+            len(faces),
+            args.mesh,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

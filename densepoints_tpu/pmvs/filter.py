@@ -1,0 +1,147 @@
+"""PMVS visibility/consistency filtering — the stage the reference left out.
+
+`PMVS::FilterPatches` is declared (pmvs.h:27) but defined nowhere, and
+`modules/filtering/` is an empty placeholder; BASELINE.json's north star
+requires the full pipeline, so this implements the standard PMVS filter pass
+(Furukawa & Ponce §4.3) the TPU way — both filters are scatter/gather over
+per-view depth grids, no neighbor lists:
+
+  * occlusion filter: for every (view, cell), the minimum patch depth
+    claims the cell; a patch whose depth in some visible view exceeds the
+    cell minimum by more than `occlusion_slack` (relative) is occluded
+    there and loses that view; patches dropping below `min_visible_views`
+    die. This enforces the depth-map coherence the sequential reference
+    got implicitly from max_patches_per_cell=1 insertion order.
+  * weak-support filter: a patch must have neighbors — patches in the 3x3
+    cell neighborhood of its reference-view cell whose ref-view depth
+    agrees within `depth_consistency` (relative) — in at least
+    `min_support_cells` cells; isolated floaters die.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from densepoints_tpu.config import FilterConfig, OptimizeConfig
+from densepoints_tpu.core.cameras import Cameras
+from densepoints_tpu.pmvs.patch import PatchState
+
+__all__ = ["filter_occlusion", "filter_weak_support", "run_filters"]
+
+
+def _cells_and_depth(cameras: Cameras, position, grid_scale: int, Hg: int, Wg: int):
+    """(V, B) flat cell ids (clamped validity separate) + depths."""
+    pix, depth = cameras.project_with_depth(position)  # (V, B, 2), (V, B)
+    col = jnp.floor(pix[..., 0] / grid_scale).astype(jnp.int32)
+    row = jnp.floor(pix[..., 1] / grid_scale).astype(jnp.int32)
+    cols = (cameras.width // grid_scale)[:, None]
+    rows = (cameras.height // grid_scale)[:, None]
+    ok = (col >= 0) & (col < cols) & (row >= 0) & (row < rows) & (depth > 0)
+    V = pix.shape[0]
+    flat = (
+        jnp.arange(V)[:, None] * (Hg * Wg) + row * Wg + col
+    )
+    return jnp.where(ok, flat, -1), depth, ok
+
+
+def filter_occlusion(
+    cameras: Cameras,
+    state: PatchState,
+    grid_scale: int = 8,
+    occlusion_slack: float = 0.05,
+    min_visible_views: int = 3,
+) -> PatchState:
+    Hg = int(cameras.height.max()) // grid_scale
+    Wg = int(cameras.width.max()) // grid_scale
+    V = cameras.num_views
+    n_cells = V * Hg * Wg
+    cells, depth, ok = _cells_and_depth(
+        cameras, state.position, grid_scale, Hg, Wg
+    )  # (V, B)
+    vis_vb = state.vis.T & ok & state.alive[None, :]  # (V, B)
+    safe = jnp.where(vis_vb, cells, n_cells)
+    inf = jnp.asarray(jnp.inf, depth.dtype)
+    mindepth = jnp.full((n_cells + 1,), inf, depth.dtype)
+    mindepth = mindepth.at[safe.reshape(-1)].min(
+        jnp.where(vis_vb, depth, inf).reshape(-1)
+    )
+    cell_min = mindepth[safe]  # (V, B)
+    occluded = vis_vb & (depth > cell_min * (1.0 + occlusion_slack))
+    new_vis = state.vis & ~occluded.T
+    alive = state.alive & (jnp.sum(new_vis, axis=1) >= min_visible_views)
+    return dataclasses.replace(state, vis=new_vis, alive=alive)
+
+
+def filter_weak_support(
+    cameras: Cameras,
+    state: PatchState,
+    grid_scale: int = 8,
+    depth_consistency: float = 0.01,
+    min_support_cells: int = 1,
+) -> PatchState:
+    """Drop patches without depth-consistent neighbors near their ref cell."""
+    Hg = int(cameras.height.max()) // grid_scale
+    Wg = int(cameras.width.max()) // grid_scale
+    V = cameras.num_views
+    n_cells = V * Hg * Wg
+    cells, depth, ok = _cells_and_depth(
+        cameras, state.position, grid_scale, Hg, Wg
+    )
+    B = state.capacity
+    bidx = jnp.arange(B)
+    ref_cell = cells[state.ref, bidx]  # (B,)
+    ref_depth = depth[state.ref, bidx]
+    ref_ok = ok[state.ref, bidx] & state.alive
+
+    # Min-depth grid over reference-view projections only.
+    safe = jnp.where(ref_ok, ref_cell, n_cells)
+    inf = jnp.asarray(jnp.inf, depth.dtype)
+    grid_min = jnp.full((n_cells + 1,), inf, depth.dtype)
+    grid_min = grid_min.at[safe].min(jnp.where(ref_ok, ref_depth, inf))
+    # Also a max grid so thick same-cell clusters support each other.
+    grid_max = jnp.full((n_cells + 1,), -inf, depth.dtype)
+    grid_max = grid_max.at[safe].max(jnp.where(ref_ok, ref_depth, -inf))
+
+    # Gather the 3x3 neighborhood (same view block, so offsets stay valid
+    # modulo edge cells that simply read inf).
+    support = jnp.zeros((B,), jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = ref_cell + dy * Wg + dx
+            nb = jnp.where((nb >= 0) & (nb < n_cells), nb, n_cells)
+            lo = grid_min[nb]
+            hi = grid_max[nb]
+            tol = depth_consistency * ref_depth
+            agree = (lo <= ref_depth + tol) & (hi >= ref_depth - tol)
+            support = support + (agree & jnp.isfinite(lo)).astype(jnp.int32)
+    alive = state.alive & (~ref_ok | (support >= min_support_cells))
+    return dataclasses.replace(state, alive=alive)
+
+
+def run_filters(
+    cameras: Cameras,
+    state: PatchState,
+    config: FilterConfig = FilterConfig(),
+    optimize_config: OptimizeConfig = OptimizeConfig(),
+    grid_scale: int = 8,
+) -> PatchState:
+    if not config.enable:
+        return state
+    state = filter_occlusion(
+        cameras,
+        state,
+        grid_scale=grid_scale,
+        occlusion_slack=config.occlusion_slack,
+        min_visible_views=optimize_config.min_visible_views,
+    )
+    state = filter_weak_support(
+        cameras,
+        state,
+        grid_scale=grid_scale,
+        depth_consistency=config.depth_consistency,
+        min_support_cells=config.min_support_cells,
+    )
+    return state

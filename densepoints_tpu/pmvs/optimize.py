@@ -22,6 +22,7 @@ Reference parity: `methods/pmvs/optimization.cpp` + `optimization_opencv.cpp`:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -158,6 +159,7 @@ def photometric_objective(
     return f
 
 
+@functools.partial(jax.jit, static_argnames=("texture_size", "config"))
 def filter_by_error(
     images: jax.Array,
     cameras: Cameras,
@@ -189,6 +191,7 @@ def filter_by_error(
     return dataclasses.replace(state, vis=new_vis, alive=alive)
 
 
+@functools.partial(jax.jit, static_argnames=("texture_size", "config"))
 def optimize_patches(
     images: jax.Array,
     cameras: Cameras,

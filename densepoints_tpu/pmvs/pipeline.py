@@ -1,0 +1,118 @@
+"""The end-to-end densification driver.
+
+Reference parity: `PMVS::Run` (pmvs.cpp:22-27) = InsertSeeds + ExpandSeeds,
+plus the two stages the reference declares but never implements —
+`FilterPatches` (pmvs.h:27) and `GetPointCloud` (pmvs.h:21) — which exist
+here as `run_filters` and the returned/exported point cloud.
+
+Pipeline: seeds (detect/match/track/triangulate) -> patches -> NCC filter ->
+batched simplex optimization -> wavefront expansion -> visibility filters ->
+colors -> PLY. Optionally multi-scale coarse-to-fine (multiscale/) and
+bundle adjustment (ba/) around the geometric stages.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from densepoints_tpu.config import PipelineConfig
+from densepoints_tpu.core.cameras import Cameras
+from densepoints_tpu.io.ply import write_ply
+from densepoints_tpu.io.scene import Scene
+from densepoints_tpu.pmvs.expand import expand_patches
+from densepoints_tpu.pmvs.filter import run_filters
+from densepoints_tpu.pmvs.optimize import filter_by_error, optimize_patches
+from densepoints_tpu.pmvs.patch import PatchState
+from densepoints_tpu.pmvs.seed import (
+    create_patches_from_points,
+    generate_seed_points,
+)
+from densepoints_tpu.pmvs.visibility import compute_color
+from densepoints_tpu.utils import StageMetrics, log
+
+__all__ = ["densify", "DensifyResult"]
+
+
+@dataclasses.dataclass
+class DensifyResult:
+    patches: PatchState
+    metrics: StageMetrics
+
+    @property
+    def positions(self) -> np.ndarray:
+        return np.asarray(self.patches.position)
+
+    @property
+    def normals(self) -> np.ndarray:
+        return np.asarray(self.patches.normal)
+
+    @property
+    def colors(self) -> np.ndarray:
+        return np.clip(np.asarray(self.patches.color), 0, 255).astype(np.uint8)
+
+    def save_ply(self, path, binary: bool = True):
+        write_ply(path, self.positions, self.normals, self.colors, binary=binary)
+
+
+def densify(
+    scene: Scene, config: PipelineConfig = PipelineConfig()
+) -> DensifyResult:
+    """Run the full PMVS pipeline on a loaded scene (single host)."""
+    metrics = StageMetrics()
+    cameras: Cameras = scene.cameras
+    images = jnp.asarray(scene.images)
+
+    with metrics.stage("seed"):
+        points, _, _ = generate_seed_points(images, cameras, config.matching)
+        state = create_patches_from_points(
+            cameras, points, config.optimize, config.seed
+        )
+    metrics.count("seed_points", state.capacity)
+
+    with metrics.stage("seed_filter"):
+        state = filter_by_error(
+            images, cameras, state, config.seed.texture_size, config.optimize
+        )
+        state = state.compact()
+    metrics.count("seeds_after_ncc", state.capacity)
+    log.info("seeds surviving NCC filter: %d", state.capacity)
+
+    with metrics.stage("seed_optimize"):
+        if state.capacity:
+            state = optimize_patches(
+                images, cameras, state, config.seed.texture_size, config.optimize
+            )
+
+    with metrics.stage("expand"):
+        state, grids = expand_patches(
+            images,
+            cameras,
+            state,
+            config.expand,
+            config.organizer,
+            config.optimize,
+        )
+    metrics.count("patches_after_expand", state.capacity)
+
+    with metrics.stage("filter"):
+        state = run_filters(
+            cameras,
+            state,
+            config.filter,
+            config.optimize,
+            config.organizer.grid_scale,
+        )
+        state = state.compact()
+    metrics.count("patches_final", state.capacity)
+
+    with metrics.stage("color"):
+        if scene.colors is not None and state.capacity:
+            color = compute_color(
+                cameras, jnp.asarray(scene.colors), state.position
+            )
+            state = dataclasses.replace(state, color=color)
+
+    log.info("densify done: %s", metrics.summary())
+    return DensifyResult(patches=state, metrics=metrics)

@@ -1,0 +1,61 @@
+"""Tests for the PMVS filter stage (absent from the reference)."""
+import numpy as np
+import jax.numpy as jnp
+
+from densepoints_tpu.core import Cameras
+from densepoints_tpu.pmvs.filter import filter_occlusion, filter_weak_support
+from densepoints_tpu.pmvs.patch import PatchState
+from tests.synthetic import TexturedPlaneScene
+
+
+def _cams(rng, num_views=4):
+    scene = TexturedPlaneScene(rng, num_views=num_views, width=160, height=120)
+    return Cameras.from_projection_matrices(
+        scene.P, widths=scene.width, heights=scene.height
+    )
+
+
+def _patches(cams, positions, ref=0):
+    B = len(positions)
+    normal = np.tile([0.0, 0.0, 1.0], (B, 1)).astype(np.float32)
+    refs = np.full((B,), ref, np.int32)
+    vis = np.ones((B, cams.num_views), bool)
+    vis[:, ref] = False
+    return PatchState.create(np.asarray(positions, np.float32), normal, refs, vis)
+
+
+def test_occlusion_filter_kills_hidden_patch(rng):
+    cams = _cams(rng)
+    # A patch placed on view 1's ray through the origin, beyond the plane
+    # patch at the origin, shares view 1's cell but is deeper -> occluded in
+    # view 1. With 3 visible views (ref 0 excluded), losing one drops it to
+    # 2 < min_visible_views -> dead. The plane patch (cell minimum) lives.
+    C1 = np.asarray(cams.C)[1]
+    ray = -C1 / np.linalg.norm(C1)  # towards the origin
+    hidden = C1 + ray * (np.linalg.norm(C1) + 1.5)
+    state = _patches(cams, [[0.0, 0.0, 0.0], hidden.tolist()])
+    out = filter_occlusion(cams, state, min_visible_views=3)
+    alive = np.asarray(out.alive)
+    vis = np.asarray(out.vis)
+    assert alive[0]
+    assert not vis[1, 1], "hidden patch must lose the occluded view"
+    assert not alive[1]
+
+
+def test_occlusion_filter_keeps_separated_patches(rng):
+    cams = _cams(rng)
+    state = _patches(cams, [[0.0, 0.0, 0.0], [1.0, 0.5, 0.0], [-1.0, -0.5, 0.0]])
+    out = filter_occlusion(cams, state, min_visible_views=3)
+    assert np.asarray(out.alive).all()
+
+
+def test_weak_support_filter(rng):
+    cams = _cams(rng)
+    # A cluster of mutually-supporting patches + one isolated floater.
+    cluster = [[x * 0.05, y * 0.05, 0.0] for x in range(4) for y in range(4)]
+    floater = [[2.0, -1.2, 1.0]]
+    state = _patches(cams, cluster + floater)
+    out = filter_weak_support(cams, state, depth_consistency=0.05)
+    alive = np.asarray(out.alive)
+    assert alive[:16].mean() > 0.8, "cluster patches should support each other"
+    assert not alive[16], "isolated floater should die"

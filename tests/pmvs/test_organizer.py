@@ -1,0 +1,87 @@
+"""Occupancy grid bulk-insertion tests."""
+import jax.numpy as jnp
+import numpy as np
+
+from densepoints_tpu.core import Cameras
+from densepoints_tpu.pmvs.organizer import (
+    bulk_try_insert,
+    candidate_cells,
+    make_grids,
+)
+from tests.synthetic import TexturedPlaneScene
+
+
+def _setup(rng, num_views=4):
+    scene = TexturedPlaneScene(rng, num_views=num_views, width=160, height=120)
+    cams = Cameras.from_projection_matrices(
+        scene.P, widths=scene.width, heights=scene.height
+    )
+    return scene, cams
+
+
+def test_grid_dims_floor_division(rng):
+    _, cams = _setup(rng)
+    grids = make_grids(cams, 8)
+    assert grids.cells.shape == (4, 15, 20)
+    assert int(grids.cols[0]) == 20 and int(grids.rows[0]) == 15
+
+
+def test_insert_and_dedup(rng):
+    _, cams = _setup(rng)
+    grids = make_grids(cams, 8)
+    # Two patches at the same world position -> identical cells; only the
+    # lower-index one may win; second is rejected (cells full / lost race).
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]], jnp.float32)
+    vis = jnp.ones((2, 4), bool)
+    cells = candidate_cells(grids, cams, pos, vis, 8)
+    assert np.asarray(cells >= 0).all()
+    accepted, grids = bulk_try_insert(
+        grids, cells, jnp.ones((2,), bool), jnp.asarray([0, 1], jnp.int32)
+    )
+    acc = np.asarray(accepted)
+    assert acc[0] and not acc[1]
+    # The winning id is stored in the cells.
+    stored = np.asarray(grids.cells.reshape(-1))[np.asarray(cells)[0]]
+    assert (stored == 0).all()
+
+
+def test_insert_respects_existing_occupancy(rng):
+    _, cams = _setup(rng)
+    grids = make_grids(cams, 8)
+    pos = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    vis = jnp.ones((1, 4), bool)
+    cells = candidate_cells(grids, cams, pos, vis, 8)
+    accepted, grids = bulk_try_insert(
+        grids, cells, jnp.ones((1,), bool), jnp.asarray([7], jnp.int32)
+    )
+    assert np.asarray(accepted)[0]
+    #
+
+    accepted2, _ = bulk_try_insert(
+        grids, cells, jnp.ones((1,), bool), jnp.asarray([8], jnp.int32)
+    )
+    assert not np.asarray(accepted2)[0], "occupied cells must reject"
+
+
+def test_min_grids_rule(rng):
+    _, cams = _setup(rng)
+    grids = make_grids(cams, 8)
+    pos = jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32)
+    # Visible in only one view -> lands in 1 grid < 2 -> rejected.
+    vis = jnp.zeros((1, 4), bool).at[0, 1].set(True)
+    cells = candidate_cells(grids, cams, pos, vis, 8)
+    accepted, new_grids = bulk_try_insert(
+        grids, cells, jnp.ones((1,), bool), jnp.asarray([0], jnp.int32)
+    )
+    assert not np.asarray(accepted)[0]
+    # Rejected patches leave no trace in the grids.
+    assert (np.asarray(new_grids.cells) == -1).all()
+
+
+def test_out_of_bounds_cells_invalid(rng):
+    _, cams = _setup(rng)
+    grids = make_grids(cams, 8)
+    pos = jnp.asarray([[100.0, 0.0, 0.0]], jnp.float32)
+    vis = jnp.ones((1, 4), bool)
+    cells = candidate_cells(grids, cams, pos, vis, 8)
+    assert (np.asarray(cells) == -1).all()
