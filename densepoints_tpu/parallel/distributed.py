@@ -1,0 +1,151 @@
+"""Multi-device PMVS: sharded optimization + collective grid merging.
+
+The reference has zero distribution (SURVEY.md §2.7/§5.8); this module is
+the TPU-native design:
+
+  * the patch set is sharded over the mesh's `patch` axis (NamedSharding on
+    dim 0 of every PatchState leaf) — optimization, visibility and NCC
+    filtering are embarrassingly patch-parallel, so pjit runs them without
+    any communication;
+  * occupancy-grid insertion needs global agreement; inside `shard_map`
+    each device computes its local claim grid (scatter-min of GLOBAL
+    candidate priorities) and a `jax.lax.pmin` over the patch axis merges
+    claims — winners are then decided locally against the merged grid.
+    The collective is one (V*Hg*Wg)-int min-reduction per round on ICI;
+  * host-side orchestration (round loop, compaction) is unchanged from the
+    single-device path.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from densepoints_tpu.config import OptimizeConfig, OrganizerConfig
+from densepoints_tpu.core.cameras import Cameras
+from densepoints_tpu.parallel.mesh import PATCH_AXIS, replicate, shard_patches
+from densepoints_tpu.pmvs.optimize import filter_by_error, optimize_patches
+from densepoints_tpu.pmvs.organizer import OccupancyGrids, candidate_cells
+from densepoints_tpu.pmvs.patch import PatchState
+from densepoints_tpu.pmvs.visibility import classify_views
+
+__all__ = [
+    "shard_state",
+    "distributed_refine_step",
+    "distributed_insert",
+]
+
+
+def shard_state(state: PatchState, mesh) -> PatchState:
+    """Place a PatchState with dim 0 sharded over the mesh patch axis.
+
+    Capacity must be divisible by the mesh size (pad with dead patches).
+    """
+    sharding = shard_patches(mesh)
+    n = mesh.devices.size
+    pad = (-state.capacity) % n
+    if pad:
+        state = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+            ),
+            state,
+        )
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("texture_size", "optimize_config")
+)
+def distributed_refine_step(
+    images: jax.Array,
+    cameras: Cameras,
+    state: PatchState,
+    texture_size: int,
+    optimize_config: OptimizeConfig = OptimizeConfig(),
+) -> PatchState:
+    """One sharded refine step: optimize -> reclassify -> NCC filter.
+
+    Pure patch-parallel: with state sharded over the mesh, XLA partitions
+    the whole computation with no collectives.
+    """
+    state = optimize_patches(
+        images, cameras, state, texture_size, optimize_config
+    )
+    vis, cand = classify_views(
+        cameras,
+        state.position,
+        state.normal,
+        state.ref,
+        optimize_config.visible_angle,
+        optimize_config.candidate_angle,
+    )
+    state = dataclasses.replace(state, vis=vis, cand=cand)
+    return filter_by_error(
+        images, cameras, state, texture_size, optimize_config
+    )
+
+
+def distributed_insert(
+    mesh,
+    grids: OccupancyGrids,
+    cameras: Cameras,
+    state: PatchState,
+    global_ids: jax.Array,
+    organizer_config: OrganizerConfig = OrganizerConfig(),
+):
+    """Cross-device deduplicated grid insertion.
+
+    state is sharded over PATCH_AXIS; grids/cameras replicated. Returns
+    (accepted (P,) sharded bool, merged new grids replicated).
+    """
+    V, Hg, Wg = grids.cells.shape
+    n_cells = V * Hg * Wg
+    scale = organizer_config.grid_scale
+    min_grids = organizer_config.min_grids_to_accept
+
+    cells = candidate_cells(grids, cameras, state.position, state.vis, scale)
+
+    def local(flat_cells, alive, prio, occupied_flat):
+        """Runs per device on its local patch shard."""
+        active = alive[:, None] & (flat_cells >= 0)
+        safe = jnp.where(active, flat_cells, n_cells)
+        occ = jnp.concatenate([occupied_flat, jnp.ones((1,), bool)])[safe]
+        active = active & ~occ
+        safe = jnp.where(active, flat_cells, n_cells)
+        big = jnp.iinfo(jnp.int32).max
+        claim = jnp.full((n_cells + 1,), big, jnp.int32)
+        claim = claim.at[safe.reshape(-1)].min(
+            jnp.where(active, prio[:, None], big).reshape(-1)
+        )
+        # Merge claims across devices: global minimum priority per cell.
+        claim = jax.lax.pmin(claim, PATCH_AXIS)
+        won = active & (claim[safe] == prio[:, None])
+        accepted = jnp.sum(won, axis=1) >= min_grids
+        return accepted, won, claim
+
+    # shard_map: cells/alive/prio sharded on dim 0; occupancy replicated.
+    prio = global_ids.astype(jnp.int32)
+    occupied = grids.cells.reshape(-1) >= 0
+
+    accepted, won, _ = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS), P()),
+        out_specs=(P(PATCH_AXIS), P(PATCH_AXIS), P()),
+    )(cells, state.alive, prio, occupied)
+
+    # Final write on replicated data (host-visible, deterministic).
+    write = won & accepted[:, None]
+    flat = grids.cells.reshape(-1)
+    safe = jnp.where(write, cells, n_cells).reshape(-1)
+    vals = jnp.broadcast_to(prio[:, None], write.shape).reshape(-1)
+    new_flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.int32)])
+    new_flat = new_flat.at[safe].set(vals)
+    new_grids = dataclasses.replace(
+        grids, cells=new_flat[:-1].reshape(V, Hg, Wg)
+    )
+    return accepted, new_grids
