@@ -1,0 +1,1 @@
+from densepoints_tpu.ba.ba import BAProblem, reprojection_rmse, rodrigues, run_ba

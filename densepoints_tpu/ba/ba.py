@@ -1,0 +1,252 @@
+"""Bundle adjustment: batched Jacobians + matrix-free Schur-complement CG.
+
+North-star addition (BASELINE.json): the reference has no camera refinement
+at all. TPU-first design:
+
+  * per-observation residuals r = project(K, R0 dR(w), C0 + dC; X) - obs
+    with Huber robustification; Jacobians for ALL observations in one
+    vmapped jacfwd (fixed (2,6) and (2,3) blocks — no sparse assembly);
+  * Levenberg-Marquardt normal equations reduced by the Schur complement
+    over points; the reduced camera system S = U - W V^-1 W^T is never
+    materialized: CG applies S x via two segment-sums per iteration
+    (observations -> points -> observations), which is bandwidth-optimal
+    and shards over observations with one psum per product when
+    distributed;
+  * the point update is the standard back-substitution
+    dX_p = V_p^-1 (g_p - W^T dx_c).
+
+Camera intrinsics stay fixed (MVS input cameras are pre-calibrated);
+extrinsics are parametrized as a local axis-angle rotation delta and a
+camera-center delta.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["BAProblem", "run_ba", "reprojection_rmse", "rodrigues"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BAProblem:
+    """K/R0/C0: (V,3,3),(V,3,3),(V,3); points0: (N,3);
+    obs_point/obs_view: (M,) int32; obs_xy: (M,2); obs_mask: (M,) bool."""
+
+    K: jax.Array
+    R0: jax.Array
+    C0: jax.Array
+    points0: jax.Array
+    obs_point: jax.Array
+    obs_view: jax.Array
+    obs_xy: jax.Array
+    obs_mask: jax.Array
+
+
+def rodrigues(w: jax.Array) -> jax.Array:
+    """Axis-angle (...,3) -> rotation matrix (...,3,3).
+
+    R = I + A [w]_x + B [w]_x^2 with A = sin(t)/t, B = (1-cos t)/t^2 and
+    Taylor fallbacks near t = 0 guarded by the double-where trick so
+    jacfwd/jacrev are exact AND finite at w = 0 (BA linearizes there every
+    outer iteration).
+    """
+    t2 = jnp.sum(w * w, axis=-1)
+    small = t2 < 1e-8
+    t2_safe = jnp.where(small, 1.0, t2)
+    t_safe = jnp.sqrt(t2_safe)
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(t_safe) / t_safe)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(t_safe)) / t2_safe)
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    Wx = jnp.stack(
+        [
+            jnp.stack([zero, -wz, wy], -1),
+            jnp.stack([wz, zero, -wx], -1),
+            jnp.stack([-wy, wx, zero], -1),
+        ],
+        -2,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), Wx.shape)
+    return eye + A[..., None, None] * Wx + B[..., None, None] * (Wx @ Wx)
+
+
+def _project_residual(cam6, X, K, R0, C0, obs_xy):
+    """Residual of one observation. cam6 = (w(3), dC(3))."""
+    R = R0 @ rodrigues(cam6[:3])
+    C = C0 + cam6[3:]
+    cam = R @ (X - C)
+    pix_h = K @ cam
+    pix = pix_h[:2] / pix_h[2]
+    return pix - obs_xy
+
+
+def _residuals_and_jacobians(problem: BAProblem, cam_params, points):
+    """(r (M,2), Jc (M,2,6), Jp (M,2,3)) for all observations."""
+
+    def one(cam6, X, K, R0, C0, obs_xy):
+        r = _project_residual(cam6, X, K, R0, C0, obs_xy)
+        Jc = jax.jacfwd(_project_residual, argnums=0)(
+            cam6, X, K, R0, C0, obs_xy
+        )
+        Jp = jax.jacfwd(_project_residual, argnums=1)(
+            cam6, X, K, R0, C0, obs_xy
+        )
+        return r, Jc, Jp
+
+    cam6 = cam_params[problem.obs_view]
+    X = points[problem.obs_point]
+    K = problem.K[problem.obs_view]
+    R0 = problem.R0[problem.obs_view]
+    C0 = problem.C0[problem.obs_view]
+    return jax.vmap(one)(cam6, X, K, R0, C0, problem.obs_xy)
+
+
+def _huber_weights(r: jax.Array, delta: float) -> jax.Array:
+    """sqrt IRLS weights per observation: w = min(1, delta/|r|)."""
+    norm = jnp.linalg.norm(r, axis=-1)
+    return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(norm, 1e-12)))
+
+
+def _schur_matvec(x, U, W, Vinv, obs_view, obs_point, num_views):
+    """Apply S = U - W V^-1 W^T to stacked camera deltas x (V,6)."""
+    y1 = jnp.einsum("vij,vj->vi", U, x)
+    xw = x[obs_view]  # (M, 6)
+    t = jnp.einsum("mij,mi->mj", W, xw)  # (M, 3) = W^T x per obs
+    t_p = jax.ops.segment_sum(t, obs_point, num_segments=Vinv.shape[0])
+    u_p = jnp.einsum("pij,pj->pi", Vinv, t_p)
+    z = jnp.einsum("mij,mj->mi", W, u_p[obs_point])  # (M, 6)
+    y2 = jax.ops.segment_sum(z, obs_view, num_segments=num_views)
+    return y1 - y2
+
+
+def _cg(matvec, b, iterations: int):
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = jnp.vdot(r, r)
+
+    def body(_, state):
+        x, r, p, rs = state
+        Ap = matvec(p)
+        alpha = rs / jnp.maximum(jnp.vdot(p, Ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.vdot(r, r)
+        p = r + (rs_new / jnp.maximum(rs, 1e-20)) * p
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x, r, p, rs))
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_outer_iterations", "cg_iterations"),
+)
+def run_ba(
+    problem: BAProblem,
+    max_outer_iterations: int = 10,
+    cg_iterations: int = 50,
+    damping: float = 1e-4,
+    robust_delta: float = 2.0,
+):
+    """LM with Schur-complement CG. Returns (R (V,3,3), C (V,3),
+    points (N,3), final mean reprojection cost)."""
+    V = problem.K.shape[0]
+    N = problem.points0.shape[0]
+    mask = problem.obs_mask.astype(problem.obs_xy.dtype)
+    n_obs = jnp.maximum(jnp.sum(mask), 1.0)
+
+    def cost(cam_params, points):
+        r, _, _ = _residuals_and_jacobians(problem, cam_params, points)
+        w = _huber_weights(r, robust_delta)
+        return jnp.sum(jnp.sum((w[:, None] * r) ** 2, -1) * mask) / n_obs
+
+    def step(state, _):
+        cam_params, points, lam = state
+        r, Jc, Jp = _residuals_and_jacobians(problem, cam_params, points)
+        w = (_huber_weights(r, robust_delta) * mask)[:, None]
+        r = r * w
+        Jc = Jc * w[:, :, None]
+        Jp = Jp * w[:, :, None]
+
+        U = jax.ops.segment_sum(
+            jnp.einsum("mri,mrj->mij", Jc, Jc), problem.obs_view, num_segments=V
+        )
+        Vp = jax.ops.segment_sum(
+            jnp.einsum("mri,mrj->mij", Jp, Jp), problem.obs_point, num_segments=N
+        )
+        W = jnp.einsum("mri,mrj->mij", Jc, Jp)  # (M, 6, 3)
+        g_c = -jax.ops.segment_sum(
+            jnp.einsum("mri,mr->mi", Jc, r), problem.obs_view, num_segments=V
+        )
+        g_p = -jax.ops.segment_sum(
+            jnp.einsum("mri,mr->mi", Jp, r), problem.obs_point, num_segments=N
+        )
+
+        eye6 = jnp.eye(6, dtype=U.dtype)
+        eye3 = jnp.eye(3, dtype=U.dtype)
+        U = U + lam * eye6[None]
+        Vp = Vp + lam * eye3[None]
+        Vinv = jnp.linalg.inv(Vp)
+
+        # Reduced RHS: b = g_c - W V^-1 g_p (gathered per observation).
+        u_p = jnp.einsum("pij,pj->pi", Vinv, g_p)
+        b_from_points = jax.ops.segment_sum(
+            jnp.einsum("mij,mj->mi", W, u_p[problem.obs_point]),
+            problem.obs_view,
+            num_segments=V,
+        )
+        b = (g_c - b_from_points).reshape(-1)
+
+        mv = lambda x: _schur_matvec(
+            x.reshape(V, 6), U, W, Vinv, problem.obs_view, problem.obs_point, V
+        ).reshape(-1)
+        dx_c = _cg(mv, b, cg_iterations).reshape(V, 6)
+
+        # Back-substitute points: dX = V^-1 (g_p - W^T dx_c).
+        t = jax.ops.segment_sum(
+            jnp.einsum("mij,mi->mj", W, dx_c[problem.obs_view]),
+            problem.obs_point,
+            num_segments=N,
+        )
+        dx_p = jnp.einsum("pij,pj->pi", Vinv, g_p - t)
+
+        new_cam = cam_params + dx_c
+        new_points = points + dx_p
+        old_cost = cost(cam_params, points)
+        new_cost = cost(new_cam, new_points)
+        accept = new_cost < old_cost
+        cam_params = jnp.where(accept, new_cam, cam_params)
+        points = jnp.where(accept, new_points, points)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return (cam_params, points, lam), new_cost
+
+    cam0 = jnp.zeros((V, 6), problem.points0.dtype)
+    (cam_params, points, _), costs = jax.lax.scan(
+        step,
+        (cam0, problem.points0, jnp.asarray(damping, problem.points0.dtype)),
+        None,
+        length=max_outer_iterations,
+    )
+    R = problem.R0 @ rodrigues(cam_params[:, :3])
+    C = problem.C0 + cam_params[:, 3:]
+    return R, C, points, cost(cam_params, points)
+
+
+def reprojection_rmse(problem: BAProblem, R, C, points) -> jax.Array:
+    """Unrobustified RMS reprojection error in pixels over valid obs."""
+    cam = jnp.einsum(
+        "mij,mj->mi",
+        R[problem.obs_view],
+        points[problem.obs_point] - C[problem.obs_view],
+    )
+    pix_h = jnp.einsum("mij,mj->mi", problem.K[problem.obs_view], cam)
+    pix = pix_h[:, :2] / pix_h[:, 2:3]
+    err2 = jnp.sum((pix - problem.obs_xy) ** 2, -1)
+    m = problem.obs_mask.astype(err2.dtype)
+    return jnp.sqrt(jnp.sum(err2 * m) / jnp.maximum(jnp.sum(m), 1.0))
