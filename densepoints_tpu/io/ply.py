@@ -53,6 +53,15 @@ def write_ply(
     n = len(positions)
     have_n = normals is not None
     have_c = colors is not None
+    if binary and n >= 10_000:
+        # Large clouds: use the C++ writer when built (same byte format).
+        try:
+            from densepoints_tpu.native.ply import write_ply_native
+
+            if write_ply_native(path, positions, normals, colors):
+                return
+        except Exception:
+            pass
     header = _header(n, have_c, have_n, binary)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

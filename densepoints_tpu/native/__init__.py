@@ -1,0 +1,67 @@
+"""ctypes bindings to the native C++ runtime (native/densepoints_native.cpp).
+
+The library is built on demand with `make -C native` (g++, no external
+deps). Every binding has a pure-python fallback, so the framework works
+without the native build — the native paths just make host-side track
+assembly and PLY export fast at scale.
+"""
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+_NATIVE_DIR = _REPO_ROOT / "native"
+_LIB_PATH = _NATIVE_DIR / "libdensepoints_native.so"
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _LIB_PATH.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR)],
+                capture_output=True,
+                timeout=120,
+                check=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.dp_union_matches.argtypes = [
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.dp_compress_roots.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.dp_write_ply.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.dp_write_ply.restype = ctypes.c_int
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
