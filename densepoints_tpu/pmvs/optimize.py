@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from densepoints_tpu.config import OptimizeConfig
 from densepoints_tpu.core.cameras import Cameras
-from densepoints_tpu.core.scores import ncc_score
+from densepoints_tpu.ops.ncc import ncc_pairs
 from densepoints_tpu.ops.simplex import nelder_mead
 from densepoints_tpu.ops.warp import patch_textures
 from densepoints_tpu.pmvs.patch import PatchState
@@ -116,7 +116,10 @@ def patch_ncc_scores(
     anchor_valid = jnp.take_along_axis(valid, anchor[:, None], axis=1)  # (B,1)
     flat = tex.reshape(B, V, k * k)
     aflat = jnp.broadcast_to(anchor_tex.reshape(B, 1, k * k), flat.shape)
-    scores = ncc_score(aflat, flat)  # (B, V)
+    # Pallas NCC kernel on TPU, identical XLA reduction elsewhere.
+    scores = ncc_pairs(
+        aflat.reshape(B * V, k * k), flat.reshape(B * V, k * k)
+    ).reshape(B, V)
     pair_valid = valid & anchor_valid
     scores = jnp.where(pair_valid, scores, -1.0)
     return scores, anchor, valid
