@@ -67,6 +67,8 @@ class OptimizeConfig:
     tolerance: float = 1e-4
     init_step_depth: float = 0.02  # initial simplex steps
     init_step_angle: float = 0.2  # (optimization_opencv.cpp:59)
+    max_score_views: int = 16  # visible views are compacted to this many
+    # slots for texture scoring; work scales with M, not scene size V
     visible_angle: float = 0.78  # rad, truly-visible cone (patch.h:56)
     candidate_angle: float = 1.04  # rad, potentially-visible cone (patch.h:57)
 

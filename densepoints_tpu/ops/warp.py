@@ -32,7 +32,12 @@ import jax.numpy as jnp
 
 from densepoints_tpu.core.cameras import Cameras
 
-__all__ = ["bilinear_sample", "patch_frames", "patch_textures"]
+__all__ = [
+    "bilinear_sample",
+    "patch_frames",
+    "patch_textures",
+    "patch_textures_indexed",
+]
 
 
 def bilinear_sample(image: jax.Array, xy: jax.Array) -> jax.Array:
@@ -137,5 +142,102 @@ def patch_textures(
     # Sample per view: images (V,H,W) x pix (V,B,k,k,2).
     tex = jax.vmap(bilinear_sample)(images, pix_world)  # (V, B, k, k)
     textures = jnp.moveaxis(tex, 0, 1)  # (B, V, k, k)
+    textures = jnp.where(valid[:, :, None, None], textures, 0.0)
+    return textures, valid
+
+
+def _bilinear_flat(images_flat, H, W, view_ids, xy):
+    """Bilinear sample per-element view selection.
+
+    images_flat: (V*H*W,); view_ids: (...,) int32; xy: (..., 2).
+    Clamp-to-edge within each view's H x W page.
+    """
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.0)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    dx = x - x0
+    dy = y - y0
+    base = view_ids * (H * W) + y0 * W + x0
+    i00 = images_flat[base]
+    i01 = images_flat[base + 1]
+    i10 = images_flat[base + W]
+    i11 = images_flat[base + W + 1]
+    return (
+        i00 * (1 - dx) * (1 - dy)
+        + i01 * dx * (1 - dy)
+        + i10 * (1 - dx) * dy
+        + i11 * dx * dy
+    )
+
+
+def patch_textures_indexed(
+    images: jax.Array,
+    cameras: Cameras,
+    position: jax.Array,
+    normal: jax.Array,
+    ref: jax.Array,
+    view_ids: jax.Array,
+    view_ok: jax.Array,
+    texture_size: int,
+):
+    """Textures of each patch in its OWN (compacted) view list.
+
+    Unlike `patch_textures`, which evaluates every patch against all V
+    views, this gathers per-patch camera parameters for `view_ids` (B, M)
+    — the patch's visible views padded to M — so work scales with actual
+    visibility (M ~ 16) instead of scene size (V can be 50+ on DTU).
+    The scaling redesign SURVEY.md §7 step 10 calls for.
+
+    images: (V, H, W); view_ids: (B, M) int32; view_ok: (B, M) bool.
+    Returns (textures (B, M, k, k), valid (B, M)).
+    """
+    k = texture_size
+    V, H, W = images.shape
+    sx, sy = patch_frames(cameras, position, normal, ref, k)
+
+    coords = (2.0 * jnp.arange(k, dtype=position.dtype) / k) - 1.0
+    tt, ss = jnp.meshgrid(coords, coords, indexing="ij")
+    world = (
+        position[:, None, None, :]
+        + ss[None, :, :, None] * sx[:, None, None, :]
+        + tt[None, :, :, None] * sy[:, None, None, :]
+    )  # (B, k, k, 3)
+    corners = (
+        position[:, None, :]
+        + jnp.stack([-sx - sy, sx - sy, sx + sy, -sx + sy], axis=1)
+    )  # (B, 4, 3)
+
+    # Gather per-(patch, view-slot) camera params.
+    K = cameras.K[view_ids]  # (B, M, 3, 3)
+    E = cameras.E[view_ids]
+    C = cameras.C[view_ids]
+    w = cameras.width.astype(position.dtype)[view_ids]  # (B, M)
+    h = cameras.height.astype(position.dtype)[view_ids]
+
+    def _proj(pts):  # pts: (B, n, 3) -> (B, M, n, 2)
+        rel = pts[:, None, :, :] - C[:, :, None, :]
+        cam = jnp.einsum("bmij,bmnj->bmni", E[..., :3], rel)
+        pix = jnp.einsum("bmij,bmnj->bmni", K, cam)
+        return pix[..., :2] / pix[..., 2:3]
+
+    pix_corners = _proj(corners)  # (B, M, 4, 2)
+    inside = (
+        (pix_corners[..., 0] > 0)
+        & (pix_corners[..., 0] < w[..., None])
+        & (pix_corners[..., 1] > 0)
+        & (pix_corners[..., 1] < h[..., None])
+    )
+    valid = jnp.all(inside, axis=-1) & view_ok  # (B, M)
+
+    pix_world = _proj(world.reshape(world.shape[0], k * k, 3))  # (B, M, k*k, 2)
+    tex = _bilinear_flat(
+        images.reshape(-1),
+        H,
+        W,
+        view_ids[:, :, None],
+        pix_world,
+    )  # (B, M, k*k)
+    textures = tex.reshape(tex.shape[0], tex.shape[1], k, k)
     textures = jnp.where(valid[:, :, None, None], textures, 0.0)
     return textures, valid

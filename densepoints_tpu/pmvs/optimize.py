@@ -31,7 +31,7 @@ from densepoints_tpu.config import OptimizeConfig
 from densepoints_tpu.core.cameras import Cameras
 from densepoints_tpu.ops.ncc import ncc_pairs
 from densepoints_tpu.ops.simplex import nelder_mead
-from densepoints_tpu.ops.warp import patch_textures
+from densepoints_tpu.ops.warp import patch_textures_indexed
 from densepoints_tpu.pmvs.patch import PatchState
 
 __all__ = [
@@ -89,6 +89,19 @@ def unparametrize(params, position0, normal0, C_ref):
     return position, normal
 
 
+def compact_visible(vis: jax.Array, max_views: int):
+    """Compact each patch's visible-view set into M slots.
+
+    vis: (B, V) -> (view_ids (B, M) int32, ok (B, M) bool). Slot 0 is the
+    FIRST visible view (the reference's anchor, textures[0]); slots are in
+    ascending view order; ok marks real (visible) slots.
+    """
+    M = min(vis.shape[1], max_views)
+    order = jnp.argsort(~vis, axis=1, stable=True)[:, :M]
+    ok = jnp.take_along_axis(vis, order, axis=1)
+    return order.astype(jnp.int32), ok
+
+
 def patch_ncc_scores(
     images: jax.Array,
     cameras: Cameras,
@@ -97,32 +110,30 @@ def patch_ncc_scores(
     ref: jax.Array,
     vis: jax.Array,
     texture_size: int,
+    max_score_views: int = 16,
 ):
     """Per-view NCC against the anchor (first visible) view's texture.
 
-    Returns (scores (B, V), anchor (B,), valid (B, V)). scores[b, v] is only
-    meaningful where vis[b, v]; the anchor column scores 1 against itself.
-    Views whose warp is invalid (any corner outside) score -1, matching the
-    reference's empty-texture sentinel.
+    Views are compacted to M = min(V, max_score_views) slots per patch
+    (work scales with visibility, not scene size). Returns
+    (scores (B, M), view_ids (B, M), ok (B, M)); scores[b, 0] is the anchor
+    against itself; slots whose warp is invalid (any corner outside, the
+    reference's empty-texture case) or whose anchor is invalid score -1.
     """
-    tex, valid = patch_textures(
-        images, cameras, position, normal, ref, vis, texture_size
+    view_ids, ok = compact_visible(vis, max_score_views)
+    tex, valid = patch_textures_indexed(
+        images, cameras, position, normal, ref, view_ids, ok, texture_size
     )
-    B, V, k, _ = tex.shape
-    anchor = jnp.argmax(vis, axis=1)  # first visible view id
-    anchor_tex = jnp.take_along_axis(
-        tex, anchor[:, None, None, None], axis=1
-    )  # (B, 1, k, k)
-    anchor_valid = jnp.take_along_axis(valid, anchor[:, None], axis=1)  # (B,1)
-    flat = tex.reshape(B, V, k * k)
-    aflat = jnp.broadcast_to(anchor_tex.reshape(B, 1, k * k), flat.shape)
+    B, M, k, _ = tex.shape
+    flat = tex.reshape(B, M, k * k)
+    aflat = jnp.broadcast_to(flat[:, :1], flat.shape)
     # Pallas NCC kernel on TPU, identical XLA reduction elsewhere.
     scores = ncc_pairs(
-        aflat.reshape(B * V, k * k), flat.reshape(B * V, k * k)
-    ).reshape(B, V)
-    pair_valid = valid & anchor_valid
+        aflat.reshape(B * M, k * k), flat.reshape(B * M, k * k)
+    ).reshape(B, M)
+    pair_valid = valid & valid[:, :1]
     scores = jnp.where(pair_valid, scores, -1.0)
-    return scores, anchor, valid
+    return scores, view_ids, ok
 
 
 def photometric_objective(
@@ -146,12 +157,10 @@ def photometric_objective(
         nrm = nrm.reshape(B * K, 3)
         ref_bk = jnp.repeat(ref, K)
         vis_bk = jnp.repeat(vis, K, axis=0)
-        scores, anchor, _ = patch_ncc_scores(
+        scores, _, ok = patch_ncc_scores(
             images, cameras, pos, nrm, ref_bk, vis_bk, texture_size
         )
-        counted = vis_bk & (
-            jnp.arange(vis.shape[1])[None, :] != anchor[:, None]
-        )
+        counted = ok.at[:, 0].set(False)  # all visible slots except anchor
         err = jnp.where(counted, 1.0 - scores, 0.0)
         n = jnp.sum(counted, axis=1)
         cost = jnp.where(
@@ -171,7 +180,7 @@ def filter_by_error(
     config: OptimizeConfig = OptimizeConfig(),
 ) -> PatchState:
     """NCC visibility pruning + patch rejection (optimization.cpp:98-132)."""
-    scores, anchor, _ = patch_ncc_scores(
+    scores, view_ids, ok = patch_ncc_scores(
         images,
         cameras,
         state.position,
@@ -179,12 +188,23 @@ def filter_by_error(
         state.ref,
         state.vis,
         texture_size,
+        config.max_score_views,
     )
-    V = state.num_views
-    is_anchor = jnp.arange(V)[None, :] == anchor[:, None]
-    keep_view = is_anchor | (scores >= config.score_threshold)
-    new_vis = state.vis & keep_view
-    n_scorable = jnp.sum(state.vis & ~is_anchor, axis=1)
+    B, V = state.vis.shape
+    # Keep the anchor slot plus scored slots over the threshold; views that
+    # did not fit in the M compaction slots are dropped (they were never
+    # scorable this round).
+    keep_slot = ok & (
+        (jnp.arange(ok.shape[1])[None, :] == 0)
+        | (scores >= config.score_threshold)
+    )
+    flat_idx = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * V + view_ids
+    ).reshape(-1)
+    new_vis = (
+        jnp.zeros((B * V,), bool).at[flat_idx].max(keep_slot.reshape(-1))
+    ).reshape(B, V)
+    n_scorable = jnp.sum(ok.at[:, 0].set(False), axis=1)
     n_after = jnp.sum(new_vis, axis=1)
     alive = (
         state.alive
