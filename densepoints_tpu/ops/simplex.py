@@ -50,7 +50,7 @@ def nelder_mead(
     verts = x0[:, None, :] + offsets[None, :, :]  # (B, D+1, D)
     fvals = f(verts)  # (B, D+1)
 
-    def body(state, _):
+    def body(state):
         verts, fvals, done, iters = state
         order = jnp.argsort(fvals, axis=1)  # ascending
         verts = jnp.take_along_axis(verts, order[:, :, None], axis=1)
@@ -101,12 +101,19 @@ def nelder_mead(
         spread = jnp.max(fvals, axis=1) - jnp.min(fvals, axis=1)
         done = done | (spread < tolerance)
         iters = iters + active.astype(jnp.int32)
-        return (verts, fvals, done, iters), None
+        return verts, fvals, done, iters
 
     done0 = jnp.zeros((B,), bool)
     iters0 = jnp.zeros((B,), jnp.int32)
-    (verts, fvals, _, iters), _ = jax.lax.scan(
-        body, (verts, fvals, done0, iters0), None, length=max_iterations
+    # while_loop with a global all-done predicate: once every lane has
+    # converged the whole batch stops paying for objective evaluations
+    # (lanes converge together in practice since patches share statistics).
+    verts, fvals, _, iters = jax.lax.while_loop(
+        lambda s: jnp.logical_and(
+            jnp.max(s[3]) < max_iterations, jnp.logical_not(jnp.all(s[2]))
+        ),
+        lambda s: body(s),
+        (verts, fvals, done0, iters0),
     )
     ib = jnp.argmin(fvals, axis=1)
     x_best = jnp.take_along_axis(verts, ib[:, None, None], axis=1)[:, 0, :]

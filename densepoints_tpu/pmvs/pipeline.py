@@ -85,27 +85,34 @@ def densify(
                 images, cameras, state, config.seed.texture_size, config.optimize
             )
 
-    with metrics.stage("expand"):
-        state, grids = expand_patches(
-            images,
-            cameras,
-            state,
-            config.expand,
-            config.organizer,
-            config.optimize,
-        )
-    metrics.count("patches_after_expand", state.capacity)
+    if config.multiscale.levels > 1:
+        with metrics.stage("expand_multiscale"):
+            from densepoints_tpu.multiscale import densify_multiscale
 
-    with metrics.stage("filter"):
-        state = run_filters(
-            cameras,
-            state,
-            config.filter,
-            config.optimize,
-            config.organizer.grid_scale,
-        )
-        state = state.compact()
-    metrics.count("patches_final", state.capacity)
+            state = densify_multiscale(images, cameras, state, config)
+        metrics.count("patches_final", state.capacity)
+    else:
+        with metrics.stage("expand"):
+            state, grids = expand_patches(
+                images,
+                cameras,
+                state,
+                config.expand,
+                config.organizer,
+                config.optimize,
+            )
+        metrics.count("patches_after_expand", state.capacity)
+
+        with metrics.stage("filter"):
+            state = run_filters(
+                cameras,
+                state,
+                config.filter,
+                config.optimize,
+                config.organizer.grid_scale,
+            )
+            state = state.compact()
+        metrics.count("patches_final", state.capacity)
 
     with metrics.stage("color"):
         if scene.colors is not None and state.capacity:
