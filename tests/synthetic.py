@@ -65,6 +65,105 @@ def smooth_texture(rng: np.random.Generator, size: int = 512) -> np.ndarray:
     return tex
 
 
+class TexturedSphereScene:
+    """Cameras on a ring looking at a textured unit sphere at the origin.
+
+    Rendering intersects each pixel ray with the sphere analytically and
+    samples a procedural texture by spherical coordinates — exact
+    ground-truth imagery for curved-surface reconstruction tests (the
+    reference has nothing like it).
+    """
+
+    def __init__(
+        self,
+        rng: np.random.Generator,
+        num_views: int = 5,
+        width: int = 200,
+        height: int = 160,
+        focal: float = 300.0,
+        radius: float = 1.0,
+        cam_radius: float = 5.0,
+        tex_size: int = 1024,
+    ):
+        self.width, self.height = width, height
+        self.radius = radius
+        self.texture = smooth_texture(rng, tex_size)
+        self.tex_size = tex_size
+        K = np.array(
+            [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1.0]]
+        )
+        self.K = K
+        Ps, Cs = [], []
+        for i in range(num_views):
+            ang = (i - (num_views - 1) / 2.0) * 0.25
+            tilt = 0.1 * np.sin(1.7 * i)
+            C = np.array(
+                [
+                    cam_radius * np.sin(ang),
+                    cam_radius * np.sin(tilt),
+                    -cam_radius * np.cos(ang) * np.cos(tilt),
+                ]
+            )
+            z = -C / np.linalg.norm(C)
+            x = np.cross([0.0, 1.0, 0.0], z)
+            x /= np.linalg.norm(x)
+            y = np.cross(z, x)
+            R = np.stack([x, y, z])
+            Ps.append(K @ np.concatenate([R, (-R @ C)[:, None]], axis=1))
+            Cs.append(C)
+        self.P = np.stack(Ps)
+        self.C = np.stack(Cs)
+
+    def _tex_at(self, pts: np.ndarray) -> np.ndarray:
+        """Texture value at unit-sphere points (..., 3)."""
+        theta = np.arctan2(pts[..., 1], pts[..., 0])  # [-pi, pi]
+        phi = np.arccos(np.clip(pts[..., 2] / self.radius, -1, 1))  # [0, pi]
+        u = (theta / (2 * np.pi) + 0.5) * (self.tex_size - 1.001)
+        v = (phi / np.pi) * (self.tex_size - 1.001)
+        u0, v0 = np.floor(u).astype(int), np.floor(v).astype(int)
+        du, dv = u - u0, v - v0
+        T = self.texture
+        u1 = np.minimum(u0 + 1, self.tex_size - 1)
+        v1 = np.minimum(v0 + 1, self.tex_size - 1)
+        return (
+            T[v0, u0] * (1 - du) * (1 - dv)
+            + T[v0, u1] * du * (1 - dv)
+            + T[v1, u0] * (1 - du) * dv
+            + T[v1, u1] * du * dv
+        )
+
+    def render(self, view: int) -> np.ndarray:
+        P = self.P[view]
+        Minv = np.linalg.inv(P[:, :3])
+        C = self.C[view]
+        ys, xs = np.mgrid[0 : self.height, 0 : self.width]
+        pix = np.stack([xs + 0.0, ys + 0.0, np.ones_like(xs, float)], -1)
+        d = pix @ Minv.T
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        # |C + t d|^2 = r^2  ->  t^2 + 2 t C.d + |C|^2 - r^2 = 0
+        b = np.sum(d * C, axis=-1)
+        c = np.dot(C, C) - self.radius**2
+        disc = b * b - c
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        pts = C + t[..., None] * d
+        img = np.zeros((self.height, self.width), np.float32)
+        img[hit] = self._tex_at(pts[hit])
+        return img
+
+    def render_all(self) -> np.ndarray:
+        return np.stack([self.render(v) for v in range(self.P.shape[0])])
+
+    def sample_surface(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """Ground-truth samples on the camera-facing hemisphere-ish cap."""
+        pts = rng.standard_normal((4 * n, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        pts *= self.radius
+        # Keep points visible from the central camera (z < 0 side).
+        keep = pts[:, 2] < -0.2 * self.radius
+        return pts[keep][:n]
+
+
 class TexturedPlaneScene:
     """Cameras in a ring looking at the textured plane z = 0.
 
