@@ -6,13 +6,18 @@ Prints ONE JSON line:
 
 The metric is end-to-end refine throughput — batched Nelder-Mead over
 (depth, roll, pitch) with the full warp+NCC objective (texture 11, 30 NM
-iterations ~ 60 objective evals, 8 views per patch) — i.e. the work the
-reference does per patch in `OptimizationOpenCV::Optimize`, measured in
-patches/second on the available accelerator.
+iterations, 8 views per patch) — the work the reference does per patch in
+`OptimizationOpenCV::Optimize` (optimization_opencv.cpp:44-78), measured in
+patches/second.
 
-The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
-against a fixed nominal target of 10_000 patches/s/chip (the BASELINE.json
-"speed-of-light" ladder's entry bar); values > 1 beat it.
+Measurement protocol: the remote-tunnel runtime memoizes identical calls
+and completes dispatches lazily, so REPS repetitions run INSIDE one jitted
+fori_loop with per-iteration input perturbation, and a scalar derived from
+every repetition's output is fetched to the host to force completion.
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is
+measured against a fixed nominal target of 10_000 patches/s/chip (the
+BASELINE.json ladder's entry bar); values > 1 beat it.
 """
 from __future__ import annotations
 
@@ -38,9 +43,10 @@ def main():
     num_patches = 4096
     texture_size = 11
     nm_iters = 30
+    reps = 4
 
     K = np.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1]])
-    Ps, Cs = [], []
+    Ps = []
     for i in range(num_views):
         ang = (i - (num_views - 1) / 2) * 0.12
         C = np.array([6.0 * np.sin(ang), 0.2 * np.sin(2 * i), -6.0 * np.cos(ang)])
@@ -50,11 +56,7 @@ def main():
         y = np.cross(z, x)
         R = np.stack([x, y, z])
         Ps.append(K @ np.concatenate([R, (-R @ C)[:, None]], 1))
-        Cs.append(C)
     cams = Cameras.from_projection_matrices(np.stack(Ps), widths=W, heights=H)
-
-    # Smooth multi-octave images (geometrically consistent content is not
-    # required for throughput measurement; shapes and memory traffic are).
     images = jnp.asarray(rng.uniform(0, 255, (num_views, H, W)).astype(np.float32))
 
     xy = rng.uniform(-1.0, 1.0, (num_patches, 2))
@@ -66,19 +68,27 @@ def main():
     state = PatchState.create(position, normal, refs, vis)
     cfg = OptimizeConfig(max_iterations=nm_iters)
 
-    step = lambda s: optimize_patches(images, cams, s, texture_size, cfg)
-    # Warmup/compile.
-    out = step(state)
-    jax.block_until_ready(out.position)
+    import dataclasses
 
-    n_rep = 5
+    def run(state, seed):
+        def body(i, acc):
+            jitter = (seed + i.astype(jnp.float32)) * 1e-4
+            s = dataclasses.replace(
+                state, position=state.position + jitter
+            )
+            out = optimize_patches(images, cams, s, texture_size, cfg)
+            return acc + jnp.sum(out.position) * 1e-9
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    fn = jax.jit(run)
+    float(fn(state, 0.0))  # compile + first run
     start = time.perf_counter()
-    for _ in range(n_rep):
-        out = step(state)
-        jax.block_until_ready(out.position)
+    # Different seed -> different call signature for the runtime's memo
+    # cache; the scalar fetch forces completion of all reps.
+    float(fn(state, 1.0))
     elapsed = time.perf_counter() - start
 
-    pps = num_patches * n_rep / elapsed
+    pps = num_patches * reps / elapsed
     print(
         json.dumps(
             {

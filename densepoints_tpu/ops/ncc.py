@@ -33,6 +33,22 @@ __all__ = ["ncc_pairs", "ncc_pairs_pallas"]
 _TILE_N = 1024
 
 
+def _ncc_kernel_nomask(a_ref, b_ref, out_ref):
+    a = a_ref[:]  # (TILE_N, L)
+    b = b_ref[:]
+    L = a.shape[1]
+    n = jnp.asarray(float(L), a.dtype)
+    am = jnp.sum(a, axis=1, keepdims=True) / n
+    bm = jnp.sum(b, axis=1, keepdims=True) / n
+    ca = a - am
+    cb = b - bm
+    cov = jnp.sum(ca * cb, axis=1) / n
+    va = jnp.sum(ca * ca, axis=1) / n
+    vb = jnp.sum(cb * cb, axis=1) / n
+    denom = jnp.maximum(jnp.sqrt(va) * jnp.sqrt(vb), NCC_MIN_DENOM)
+    out_ref[:] = cov / denom
+
+
 def _ncc_kernel(a_ref, b_ref, mask_ref, out_ref):
     a = a_ref[:]  # (TILE_N, L)
     b = b_ref[:]
@@ -58,31 +74,35 @@ def ncc_pairs_pallas(
     mask: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """(N, L) texture pairs -> (N,) NCC scores via the Pallas kernel."""
-    N, L = a.shape
-    Lp = -(-L // 128) * 128
-    Np = -(-N // _TILE_N) * _TILE_N
-    if mask is None:
-        mask_f = jnp.ones((N, L), jnp.float32)
-    else:
-        mask_f = mask.astype(jnp.float32)
-    pad = lambda x: jnp.pad(
-        x.astype(jnp.float32), ((0, Np - N), (0, Lp - L))
-    )
-    a_p, b_p, m_p = pad(a), pad(b), pad(mask_f)
+    """(N, L) texture pairs -> (N,) NCC scores via the Pallas kernel.
 
-    out = pl.pallas_call(
-        _ncc_kernel,
-        out_shape=jax.ShapeDtypeStruct((Np,), jnp.float32),
-        grid=(Np // _TILE_N,),
-        in_specs=[
-            pl.BlockSpec((_TILE_N, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_N, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_N, Lp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_TILE_N,), lambda i: (i,), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(a_p, b_p, m_p)
+    Only the row count is padded (to the 1024-row output tile); Mosaic
+    handles the non-128 minor dimension with masked loads, so no HBM-side
+    lane-padding copy is paid. Maskless inputs use a 3-operand kernel.
+    """
+    N, L = a.shape
+    Np = -(-N // _TILE_N) * _TILE_N
+    pad = lambda x: jnp.pad(x.astype(jnp.float32), ((0, Np - N), (0, 0)))
+    spec = pl.BlockSpec((_TILE_N, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((_TILE_N,), lambda i: (i,), memory_space=pltpu.VMEM)
+    if mask is None:
+        out = pl.pallas_call(
+            _ncc_kernel_nomask,
+            out_shape=jax.ShapeDtypeStruct((Np,), jnp.float32),
+            grid=(Np // _TILE_N,),
+            in_specs=[spec, spec],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(pad(a), pad(b))
+    else:
+        out = pl.pallas_call(
+            _ncc_kernel,
+            out_shape=jax.ShapeDtypeStruct((Np,), jnp.float32),
+            grid=(Np // _TILE_N,),
+            in_specs=[spec, spec, spec],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(pad(a), pad(b), pad(mask.astype(jnp.float32)))
     return out[:N]
 
 
