@@ -46,6 +46,8 @@ class MatchingConfig:
     detector_blur_sigma: float = 1.0
     descriptor_bits: int = 256
     descriptor_patch_radius: int = 15
+    max_pairs_per_view: int = 0  # 0 = all C(V,2) pairs (reference behavior);
+    # > 0 prunes to each view's N nearest cameras (large scenes)
 
 
 @dataclasses.dataclass(frozen=True)

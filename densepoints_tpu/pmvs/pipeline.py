@@ -56,6 +56,44 @@ class DensifyResult:
         write_ply(path, self.positions, self.normals, self.colors, binary=binary)
 
 
+def _bundle_adjust(cameras: Cameras, points, obs, obs_mask, ba_config):
+    """Refine cameras + seed points from the matched tracks (ba/)."""
+    import jax
+
+    from densepoints_tpu.ba import BAProblem, reprojection_rmse, run_ba
+
+    T, V = obs_mask.shape
+    tp, tv = np.nonzero(obs_mask)
+    problem = BAProblem(
+        K=cameras.K,
+        R0=cameras.E[:, :, :3],
+        C0=cameras.C,
+        points0=jnp.asarray(points, jnp.float32),
+        obs_point=jnp.asarray(tp, jnp.int32),
+        obs_view=jnp.asarray(tv, jnp.int32),
+        obs_xy=jnp.asarray(obs[tp, tv], jnp.float32),
+        obs_mask=jnp.ones((len(tp),), bool),
+    )
+    R, C, new_points, _ = run_ba(
+        problem,
+        max_outer_iterations=ba_config.max_outer_iterations,
+        cg_iterations=ba_config.cg_iterations,
+        damping=ba_config.damping,
+        robust_delta=ba_config.robust_delta,
+    )
+    rmse = float(reprojection_rmse(problem, R, C, new_points))
+    # Rebuild cameras from the refined extrinsics (host f64 path keeps the
+    # decomposition invariants).
+    Rn = np.asarray(R, np.float64)
+    Cn = np.asarray(C, np.float64)
+    Kn = np.asarray(cameras.K, np.float64)
+    P = Kn @ np.concatenate([Rn, -Rn @ Cn[:, :, None]], axis=2)
+    new_cams = Cameras.from_projection_matrices(
+        P, widths=np.asarray(cameras.width), heights=np.asarray(cameras.height)
+    )
+    return new_cams, np.asarray(new_points), rmse
+
+
 def densify(
     scene: Scene, config: PipelineConfig = PipelineConfig()
 ) -> DensifyResult:
@@ -65,7 +103,19 @@ def densify(
     images = jnp.asarray(scene.images)
 
     with metrics.stage("seed"):
-        points, _, _ = generate_seed_points(images, cameras, config.matching)
+        points, obs, obs_mask = generate_seed_points(
+            images, cameras, config.matching
+        )
+
+    if config.ba.enable and len(points) >= 8:
+        with metrics.stage("bundle_adjust"):
+            cameras, points, rmse = _bundle_adjust(
+                cameras, points, obs, obs_mask, config.ba
+            )
+            metrics.count("ba_rmse_px", rmse)
+            log.info("bundle adjustment: reprojection RMSE %.3f px", rmse)
+
+    with metrics.stage("seed_patches"):
         state = create_patches_from_points(
             cameras, points, config.optimize, config.seed
         )

@@ -40,6 +40,27 @@ def default_pairs(num_views: int) -> np.ndarray:
     return np.stack([a, b], axis=1).astype(np.int32)
 
 
+def covisibility_pairs(cameras: Cameras, max_pairs_per_view: int) -> np.ndarray:
+    """Nearest-neighbor pair graph for large scenes.
+
+    The reference matches all C(V,2) pairs; on 50+-view scans that is
+    quadratic waste — most pairs share no surface. Each view pairs with its
+    `max_pairs_per_view` nearest camera centers (a cheap covisibility
+    proxy; SURVEY.md §2.4 "later: covisibility-pruned pair graph").
+    """
+    C = np.asarray(cameras.C, np.float64)
+    V = len(C)
+    if max_pairs_per_view <= 0 or max_pairs_per_view >= V - 1:
+        return default_pairs(V)
+    d = np.linalg.norm(C[:, None] - C[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    pairs = set()
+    for v in range(V):
+        for n in np.argsort(d[v])[:max_pairs_per_view]:
+            pairs.add((min(v, int(n)), max(v, int(n))))
+    return np.asarray(sorted(pairs), np.int32)
+
+
 def generate_seed_points(
     images: jax.Array,
     cameras: Cameras,
@@ -52,7 +73,7 @@ def generate_seed_points(
     """
     V = cameras.num_views
     if pairs is None:
-        pairs = default_pairs(V)
+        pairs = covisibility_pairs(cameras, config.max_pairs_per_view)
     xy, resp, valid = detect_keypoints(
         images,
         cell_size=config.keypoint_cell_size,
