@@ -146,6 +146,19 @@ def patch_textures(
     return textures, valid
 
 
+def compact_visible(vis: jax.Array, max_views: int):
+    """Compact each patch's visible-view set into M slots.
+
+    vis: (B, V) -> (view_ids (B, M) int32, ok (B, M) bool). Slot 0 is the
+    FIRST visible view (the reference's anchor, textures[0]); slots are in
+    ascending view order; ok marks real (visible) slots.
+    """
+    M = min(vis.shape[1], max_views)
+    order = jnp.argsort(~vis, axis=1, stable=True)[:, :M]
+    ok = jnp.take_along_axis(vis, order, axis=1)
+    return order.astype(jnp.int32), ok
+
+
 def _bilinear_flat(images_flat, H, W, view_ids, xy):
     """Bilinear sample per-element view selection.
 

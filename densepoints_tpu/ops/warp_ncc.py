@@ -1,0 +1,280 @@
+"""Fused warp + NCC Pallas kernel — the framework's headline TPU kernel.
+
+Why: the photometric objective evaluates, per candidate, every patch's
+texture in every visible view (bilinear samples at homography-warped
+coordinates) and NCC-scores it against the anchor texture. In XLA the
+sampling lowers to scalarized gathers (~1e8 samples/s on v5e — the
+measured pipeline bottleneck at ~27k scoring passes/s for 4096 patches).
+
+Kernel design (one grid step = TILE_B patches x M view slots):
+  * scalar-prefetched per-slot window corners (y0, x0) and view ids drive
+    async DMAs of fixed (WIN_H, WIN_W) image windows HBM -> VMEM — the
+    only HBM traffic is ~WIN_H*WIN_W*4 bytes per slot, replacing millions
+    of scalar gathers;
+  * bilinear sampling is reformulated per sample s as a separable bilinear
+    form  tex[s] = wy[s,:] @ ROI @ wx[s,:]^T  with hat-function weights
+    built in-kernel from broadcasted iota — evaluated as ONE MXU matmul
+    B = Wx @ ROI^T (S x WIN_W x WIN_H) plus a VPU contraction
+    tex = sum(Wy * B, axis=-1). No gathers anywhere;
+  * NCC (population stats, 0.1 denom clamp, masked to the k*k real
+    texels) against slot 0 happens in-register; only (B, M) scores reach
+    HBM.
+
+Semantics notes:
+  * samples are clamped to the window interior; as long as a texture's
+    footprint fits the window (footprint ~ k px in the reference view by
+    construction; WIN gives ~4x slack for perspective stretch in other
+    views) this equals clamp-to-edge bilinear sampling. Validity (corner
+    outside image) is computed by the XLA caller exactly as before.
+  * anchor = slot 0 (the first visible view), matching optimization.cpp's
+    textures[0].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from densepoints_tpu.core.scores import NCC_MIN_DENOM
+
+__all__ = ["warp_ncc_scores", "patch_ncc_scores_fused", "WIN_H", "WIN_W"]
+
+# Window sizes are chosen so corners can snap to the f32 HBM tile grid
+# (y0 % 8 == 0, x0 % 128 == 0 — Mosaic requires DMA slices tile-aligned)
+# while still guaranteeing slack around the patch center: with
+# x0 = floor128(cx - 64) the center sits 64..192 px into the window, and
+# with y0 = floor8(cy - 24) it sits 24..32 px in — enough for a texture
+# footprint stretched ~4x from its k-pixel reference-view size.
+WIN_H = 64
+WIN_W = 256
+TILE_B = 8  # patches per grid step
+
+
+def _kernel_factory(M: int, S: int, n_real: int):
+    """Kernel over TILE_B patches with M slots of S samples (n_real live)."""
+
+    def kernel(y0_ref, x0_ref, view_ref, coords_ref, images_ref, out_ref,
+               roi_ref, tex_ref, sems):
+        step = pl.program_id(0)
+
+        # Start all DMAs for this step's TILE_B x M windows.
+        for i in range(TILE_B):
+            for m in range(M):
+                b = step * TILE_B + i
+                v = view_ref[b, m]
+                y0 = pl.multiple_of(y0_ref[b, m], 8)
+                x0 = pl.multiple_of(x0_ref[b, m], 128)
+                pltpu.make_async_copy(
+                    images_ref.at[v, pl.ds(y0, WIN_H), pl.ds(x0, WIN_W)],
+                    roi_ref.at[i, m],
+                    sems.at[i, m],
+                ).start()
+
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (S, WIN_W), 1).astype(
+            jnp.float32
+        )
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, WIN_H), 1).astype(
+            jnp.float32
+        )
+        n = jnp.float32(n_real)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        smask = (lane < n_real).astype(jnp.float32)  # (1, S)
+
+        for i in range(TILE_B):
+            # Sample all M slots of patch i.
+            for m in range(M):
+                pltpu.make_async_copy(
+                    images_ref.at[0, pl.ds(0, WIN_H), pl.ds(0, WIN_W)],
+                    roi_ref.at[i, m],
+                    sems.at[i, m],
+                ).wait()
+                xs = coords_ref[i, m, 0, :]  # (S,)
+                ys = coords_ref[i, m, 1, :]
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_ids))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_ids))
+                B = jax.lax.dot_general(
+                    wx,
+                    roi_ref[i, m],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (S, WIN_H)
+                tex_ref[m, :] = jnp.sum(wy * B, axis=1)
+
+            # NCC of each slot against slot 0, masked to the real texels.
+            tex = tex_ref[:, :] * smask  # (M, S) zeros on padded lanes
+            anchor = tex[0:1, :]
+            am = jnp.sum(anchor, axis=1, keepdims=True) / n
+            tm = jnp.sum(tex, axis=1, keepdims=True) / n
+            ca = (anchor - am) * smask
+            ct = (tex - tm) * smask
+            cov = jnp.sum(ca * ct, axis=1) / n
+            va = jnp.sum(ca * ca, axis=1) / n
+            vt = jnp.sum(ct * ct, axis=1) / n
+            denom = jnp.maximum(jnp.sqrt(va) * jnp.sqrt(vt), NCC_MIN_DENOM)
+            out_ref[i, :] = cov / denom
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_real", "interpret")
+)
+def warp_ncc_scores(
+    images: jax.Array,
+    y0: jax.Array,
+    x0: jax.Array,
+    view_ids: jax.Array,
+    coords: jax.Array,
+    n_real: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused sampling + NCC for all patches.
+
+    images: (V, H, W) f32 (H >= WIN_H, W >= WIN_W).
+    y0/x0/view_ids: (B, M) int32 window corners (pre-clamped to valid
+      ranges) and view page per slot.
+    coords: (B, M, 2, S) f32 sample positions RELATIVE to the window corner
+      (row 0 = x, row 1 = y), padded to S lanes; only the first n_real are
+      texels.
+    Returns (B, M) NCC of slot m against slot 0.
+    """
+    B, M = y0.shape
+    S = coords.shape[-1]
+    Bp = -(-B // TILE_B) * TILE_B
+    if Bp != B:
+        padb = lambda a, fill=0: jnp.concatenate(
+            [a, jnp.full((Bp - B,) + a.shape[1:], fill, a.dtype)], axis=0
+        )
+        y0, x0, view_ids, coords = (
+            padb(y0), padb(x0), padb(view_ids), padb(coords)
+        )
+
+    kernel = _kernel_factory(M, S, n_real)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Bp // TILE_B,),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE_B, M, 2, S),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_B, M), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_B, M, WIN_H, WIN_W), jnp.float32),
+            pltpu.VMEM((M, S), jnp.float32),
+            pltpu.SemaphoreType.DMA((TILE_B, M)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, M), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(y0, x0, view_ids, coords, images.astype(jnp.float32))
+    return out[:B]
+
+
+def patch_ncc_scores_fused(
+    images: jax.Array,
+    cameras,
+    position: jax.Array,
+    normal: jax.Array,
+    ref: jax.Array,
+    vis: jax.Array,
+    texture_size: int,
+    max_score_views: int = 16,
+    interpret: bool = False,
+):
+    """Drop-in fused equivalent of pmvs.optimize.patch_ncc_scores.
+
+    Computes the same per-slot geometry as ops/warp.py
+    `patch_textures_indexed` (tangent-frame texel grid, 4-corner validity),
+    then runs sampling + NCC entirely in the Pallas kernel. Returns
+    (scores (B, M), view_ids (B, M), ok (B, M)) with -1 where the pair is
+    invalid, exactly like the XLA path.
+    """
+    from densepoints_tpu.ops.warp import compact_visible, patch_frames
+
+    k = texture_size
+    V, H, W = images.shape
+    view_ids, ok = compact_visible(vis, max_score_views)
+    B, M = view_ids.shape
+    sx, sy = patch_frames(cameras, position, normal, ref, k)
+
+    coords1d = (2.0 * jnp.arange(k, dtype=position.dtype) / k) - 1.0
+    tt, ss = jnp.meshgrid(coords1d, coords1d, indexing="ij")
+    world = (
+        position[:, None, None, :]
+        + ss[None, :, :, None] * sx[:, None, None, :]
+        + tt[None, :, :, None] * sy[:, None, None, :]
+    ).reshape(B, k * k, 3)
+    corners = (
+        position[:, None, :]
+        + jnp.stack([-sx - sy, sx - sy, sx + sy, -sx + sy], axis=1)
+    )
+
+    K = cameras.K[view_ids]
+    E = cameras.E[view_ids]
+    C = cameras.C[view_ids]
+    w = cameras.width.astype(position.dtype)[view_ids]
+    h = cameras.height.astype(position.dtype)[view_ids]
+
+    def _proj(pts):  # (B, n, 3) -> (B, M, n, 2)
+        rel = pts[:, None, :, :] - C[:, :, None, :]
+        cam = jnp.einsum("bmij,bmnj->bmni", E[..., :3], rel)
+        pix = jnp.einsum("bmij,bmnj->bmni", K, cam)
+        return pix[..., :2] / pix[..., 2:3]
+
+    pix_corners = _proj(corners)
+    inside = (
+        (pix_corners[..., 0] > 0)
+        & (pix_corners[..., 0] < w[..., None])
+        & (pix_corners[..., 1] > 0)
+        & (pix_corners[..., 1] < h[..., None])
+    )
+    valid = jnp.all(inside, axis=-1) & ok  # (B, M)
+
+    pix = _proj(world)  # (B, M, k*k, 2)
+    # Window corners centered on the patch center's projection, clamped so
+    # the fixed-size window stays inside the image.
+    center = _proj(position[:, None, :])[:, :, 0, :]  # (B, M, 2)
+    # Pad images up to the window size if needed (tiny test scenes).
+    Hp = max(H, WIN_H)
+    Wp = max(W, WIN_W)
+    if (Hp, Wp) != (H, W):
+        images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    # Tile-aligned window corners (see WIN_H/WIN_W comment).
+    cx = jnp.floor(center[..., 0]).astype(jnp.int32)
+    cy = jnp.floor(center[..., 1]).astype(jnp.int32)
+    x0 = jnp.clip(((cx - 64) // 128) * 128, 0, ((Wp - WIN_W) // 128) * 128)
+    y0 = jnp.clip(((cy - 24) // 8) * 8, 0, ((Hp - WIN_H) // 8) * 8)
+    relx = jnp.clip(
+        pix[..., 0] - x0[..., None].astype(pix.dtype), 0.0, WIN_W - 1.001
+    )
+    rely = jnp.clip(
+        pix[..., 1] - y0[..., None].astype(pix.dtype), 0.0, WIN_H - 1.001
+    )
+    S = -(-(k * k) // 128) * 128
+    pad = ((0, 0), (0, 0), (0, S - k * k))
+    coords = jnp.stack(
+        [jnp.pad(relx, pad), jnp.pad(rely, pad)], axis=2
+    )  # (B, M, 2, S)
+
+    safe_view = jnp.where(ok, view_ids, 0)
+    scores = warp_ncc_scores(
+        images, y0, x0, safe_view, coords, k * k, interpret=interpret
+    )
+    pair_valid = valid & valid[:, :1]
+    scores = jnp.where(pair_valid, scores, -1.0)
+    return scores, view_ids, ok

@@ -31,7 +31,7 @@ from densepoints_tpu.config import OptimizeConfig
 from densepoints_tpu.core.cameras import Cameras
 from densepoints_tpu.ops.ncc import ncc_pairs
 from densepoints_tpu.ops.simplex import nelder_mead
-from densepoints_tpu.ops.warp import patch_textures_indexed
+from densepoints_tpu.ops.warp import compact_visible, patch_textures_indexed
 from densepoints_tpu.pmvs.patch import PatchState
 
 __all__ = [
@@ -87,19 +87,6 @@ def unparametrize(params, position0, normal0, C_ref):
     R = _rotation(params[..., 1], params[..., 2])
     normal = jnp.einsum("...ij,...j->...i", R, normal0)
     return position, normal
-
-
-def compact_visible(vis: jax.Array, max_views: int):
-    """Compact each patch's visible-view set into M slots.
-
-    vis: (B, V) -> (view_ids (B, M) int32, ok (B, M) bool). Slot 0 is the
-    FIRST visible view (the reference's anchor, textures[0]); slots are in
-    ascending view order; ok marks real (visible) slots.
-    """
-    M = min(vis.shape[1], max_views)
-    order = jnp.argsort(~vis, axis=1, stable=True)[:, :M]
-    ok = jnp.take_along_axis(vis, order, axis=1)
-    return order.astype(jnp.int32), ok
 
 
 def patch_ncc_scores(
