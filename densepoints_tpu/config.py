@@ -43,6 +43,7 @@ class MatchingConfig:
     lowe_ratio: float = 0.7  # kNN ratio test (matcher.cpp:218)
     max_epipolar_distance: float = 1.5  # px (matcher.h:24)
     harris_k: float = 0.04
+    fast_threshold: float = 10.0  # FAST-9/16 segment-test margin
     detector_blur_sigma: float = 1.0
     descriptor_bits: int = 256
     descriptor_patch_radius: int = 15
@@ -71,6 +72,8 @@ class OptimizeConfig:
     init_step_angle: float = 0.2  # (optimization_opencv.cpp:59)
     max_score_views: int = 16  # visible views are compacted to this many
     # slots for texture scoring; work scales with M, not scene size V
+    sampling_impl: str = "auto"  # auto | fused | xla: fused = Pallas
+    # DMA+MXU warp+NCC kernel (auto picks it on TPU; ~6x the XLA path)
     visible_angle: float = 0.78  # rad, truly-visible cone (patch.h:56)
     candidate_angle: float = 1.04  # rad, potentially-visible cone (patch.h:57)
 

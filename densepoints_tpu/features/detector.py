@@ -17,7 +17,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["harris_response", "detect_keypoints", "gaussian_blur"]
+__all__ = [
+    "harris_response",
+    "fast_response",
+    "detect_keypoints",
+    "gaussian_blur",
+]
 
 
 def _conv1d(img: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
@@ -70,6 +75,58 @@ def harris_response(
     return det - k * tr * tr
 
 
+# Bresenham circle of radius 3: the 16 (dy, dx) ring offsets of FAST-16,
+# clockwise from 12 o'clock (the segment-test ring ORB's detector uses).
+_FAST_RING = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "arc"))
+def fast_response(
+    images: jax.Array, threshold: float = 10.0, arc: int = 9
+) -> jax.Array:
+    """FAST segment-test corner response as a pure stencil.
+
+    The reference's ORB front-end (matcher.cpp:45-87) is FAST-9/16 inside
+    OpenCV; here the ring comparisons run as 16 shifted-slice ops over the
+    whole image batch. A pixel is a corner when `arc` CONTIGUOUS ring pixels
+    are all brighter (or all darker) than center +- threshold; its response
+    is the summed margin over the brighter/darker set (a monotone stand-in
+    for OpenCV's max-threshold score, used only for top-k ranking).
+    Non-corners score -inf. images: (..., H, W) -> same shape.
+    """
+    img = images.astype(jnp.float32)
+    H, W = img.shape[-2:]
+    padded = jnp.pad(
+        img, [(0, 0)] * (img.ndim - 2) + [(3, 3), (3, 3)], mode="edge"
+    )
+    diffs = []
+    for dy, dx in _FAST_RING:
+        nb = padded[..., 3 + dy : 3 + dy + H, 3 + dx : 3 + dx + W]
+        diffs.append(nb - img)
+    diffs = jnp.stack(diffs)  # (16, ..., H, W)
+    bright = diffs > threshold
+    dark = diffs < -threshold
+    # Contiguous-run test: OR over the 16 start positions of an AND over
+    # `arc` consecutive ring pixels (indices mod 16).
+    corner_b = jnp.zeros(img.shape, bool)
+    corner_d = jnp.zeros(img.shape, bool)
+    for s in range(16):
+        run_b = bright[s]
+        run_d = dark[s]
+        for j in range(1, arc):
+            run_b = run_b & bright[(s + j) % 16]
+            run_d = run_d & dark[(s + j) % 16]
+        corner_b = corner_b | run_b
+        corner_d = corner_d | run_d
+    score_b = jnp.sum(jnp.maximum(diffs - threshold, 0.0), axis=0)
+    score_d = jnp.sum(jnp.maximum(-diffs - threshold, 0.0), axis=0)
+    score = jnp.where(corner_b, score_b, 0.0) + jnp.where(corner_d, score_d, 0.0)
+    return jnp.where(corner_b | corner_d, score, -jnp.inf)
+
+
 def _nms3(resp: jax.Array) -> jax.Array:
     """3x3 non-maximum suppression mask (True where local max).
 
@@ -99,7 +156,10 @@ def _nms3(resp: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cell_size", "max_per_cell", "max_keypoints", "border"),
+    static_argnames=(
+        "cell_size", "max_per_cell", "max_keypoints", "border", "method",
+        "fast_threshold",
+    ),
 )
 def detect_keypoints(
     images: jax.Array,
@@ -108,17 +168,26 @@ def detect_keypoints(
     max_keypoints: int = 4096,
     k: float = 0.04,
     border: int = 8,
+    method: str = "harris",
+    fast_threshold: float = 10.0,
 ):
-    """Detect grid-filtered Harris corners for a batch of images.
+    """Detect grid-filtered corners for a batch of images.
 
-    images: (V, H, W) float. Returns (xy (V, N, 2) float32, response
-    (V, N) float32, valid (V, N) bool) with N = max_keypoints. Keypoints are
-    the per-cell top `max_per_cell` local maxima, then the global top N by
-    response (the same two-stage selection as the reference's ORB-40000 ->
-    grid top-4 pipeline, fused).
+    `method` selects the response: "harris" (stencil Harris) or "fast"
+    (FAST-9/16 segment test) — the analog of the reference's ORB | AKAZE
+    detector switch (matcher.h:17). images: (V, H, W) float. Returns
+    (xy (V, N, 2) float32, response (V, N) float32, valid (V, N) bool) with
+    N = max_keypoints. Keypoints are the per-cell top `max_per_cell` local
+    maxima, then the global top N by response (the same two-stage selection
+    as the reference's ORB-40000 -> grid top-4 pipeline, fused).
     """
     V, H, W = images.shape
-    resp = harris_response(images, k=k)
+    if method == "harris":
+        resp = harris_response(images, k=k)
+    elif method == "fast":
+        resp = fast_response(images, threshold=fast_threshold)
+    else:
+        raise ValueError(f"unknown detector {method!r}")
     is_max = _nms3(resp)
     # Suppress borders (descriptor sampling window must fit).
     ys = jnp.arange(H)[:, None]

@@ -7,10 +7,13 @@ sampling lowers to scalarized gathers (~1e8 samples/s on v5e — the
 measured pipeline bottleneck at ~27k scoring passes/s for 4096 patches).
 
 Kernel design (one grid step = TILE_B patches x M view slots):
-  * scalar-prefetched per-slot window corners (y0, x0) and view ids drive
-    async DMAs of fixed (WIN_H, WIN_W) image windows HBM -> VMEM — the
-    only HBM traffic is ~WIN_H*WIN_W*4 bytes per slot, replacing millions
-    of scalar gathers;
+  * per-slot window corners (y0, x0) and view ids arrive as SMEM inputs
+    blocked per grid step (NOT scalar-prefetch: prefetch pins the FULL
+    (B, M) arrays in the 1 MB SMEM and fails to compile past ~4k patches;
+    blocked SMEM slices are a few hundred bytes per step) and drive async
+    DMAs of fixed (WIN_H, WIN_W) image windows HBM -> VMEM — the only HBM
+    traffic is ~WIN_H*WIN_W*4 bytes per slot, replacing millions of
+    scalar gathers;
   * bilinear sampling is reformulated per sample s as a separable bilinear
     form  tex[s] = wy[s,:] @ ROI @ wx[s,:]^T  with hat-function weights
     built in-kernel from broadcasted iota — evaluated as ONE MXU matmul
@@ -58,15 +61,12 @@ def _kernel_factory(M: int, S: int, n_real: int):
 
     def kernel(y0_ref, x0_ref, view_ref, coords_ref, images_ref, out_ref,
                roi_ref, tex_ref, sems):
-        step = pl.program_id(0)
-
         # Start all DMAs for this step's TILE_B x M windows.
         for i in range(TILE_B):
             for m in range(M):
-                b = step * TILE_B + i
-                v = view_ref[b, m]
-                y0 = pl.multiple_of(y0_ref[b, m], 8)
-                x0 = pl.multiple_of(x0_ref[b, m], 128)
+                v = view_ref[i, m]
+                y0 = pl.multiple_of(y0_ref[i, m], 8)
+                x0 = pl.multiple_of(x0_ref[i, m], 128)
                 pltpu.make_async_copy(
                     images_ref.at[v, pl.ds(y0, WIN_H), pl.ds(x0, WIN_W)],
                     roi_ref.at[i, m],
@@ -153,30 +153,32 @@ def warp_ncc_scores(
         )
 
     kernel = _kernel_factory(M, S, n_real)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    smem_spec = pl.BlockSpec(
+        (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, M), jnp.float32),
         grid=(Bp // TILE_B,),
         in_specs=[
+            smem_spec,  # y0
+            smem_spec,  # x0
+            smem_spec,  # view ids
             pl.BlockSpec(
                 (TILE_B, M, 2, S),
-                lambda i, *_: (i, 0, 0, 0),
+                lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # images stay in HBM
         ],
         out_specs=pl.BlockSpec(
-            (TILE_B, M), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((TILE_B, M, WIN_H, WIN_W), jnp.float32),
             pltpu.VMEM((M, S), jnp.float32),
             pltpu.SemaphoreType.DMA((TILE_B, M)),
         ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, M), jnp.float32),
-        grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

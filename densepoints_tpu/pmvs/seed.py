@@ -81,6 +81,8 @@ def generate_seed_points(
         max_keypoints=config.max_keypoints_per_view,
         k=config.harris_k,
         border=config.descriptor_patch_radius + 1,
+        method=config.detector,
+        fast_threshold=config.fast_threshold,
     )
     log.info(
         "detected keypoints per view: %s",
