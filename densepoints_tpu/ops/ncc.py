@@ -107,7 +107,22 @@ def ncc_pairs_pallas(
 
 
 def ncc_pairs(a: jax.Array, b: jax.Array, mask: jax.Array | None = None):
-    """Backend dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
-    if jax.default_backend() == "tpu":
-        return ncc_pairs_pallas(a, b, mask)
-    return ncc_score(a, b, mask)
+    """Backend dispatch: Pallas kernel on TPU, XLA reference elsewhere.
+
+    Resolved at LOWERING time per target platform (lax.platform_dependent),
+    so a CPU mesh works even when a TPU plugin owns the default backend.
+    """
+    if mask is None:
+        return jax.lax.platform_dependent(
+            a,
+            b,
+            tpu=lambda a, b: ncc_pairs_pallas(a, b),
+            default=lambda a, b: ncc_score(a, b).astype(jnp.float32),
+        )
+    return jax.lax.platform_dependent(
+        a,
+        b,
+        mask,
+        tpu=lambda a, b, m: ncc_pairs_pallas(a, b, m),
+        default=lambda a, b, m: ncc_score(a, b, m).astype(jnp.float32),
+    )

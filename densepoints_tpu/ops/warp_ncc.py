@@ -169,7 +169,7 @@ def warp_ncc_scores(
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # images stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
         ],
         out_specs=pl.BlockSpec(
             (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.VMEM

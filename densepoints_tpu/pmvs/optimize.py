@@ -110,10 +110,27 @@ def patch_ncc_scores(
 
     `impl`: "fused" = the Pallas DMA+MXU kernel (ops/warp_ncc.py),
     "xla" = gather-based warp + NCC reduction, "auto" = fused on TPU
-    (measured ~6x the XLA path on v5e), xla elsewhere.
+    (measured ~6x the XLA path on v5e), xla elsewhere — resolved at
+    lowering time per target platform, so one trace serves mixed backends.
     """
     if impl == "auto":
-        impl = "fused" if jax.default_backend() == "tpu" else "xla"
+        from densepoints_tpu.ops.warp_ncc import patch_ncc_scores_fused
+
+        def _fused(im, cam, p, n, r, v):
+            return patch_ncc_scores_fused(
+                im, cam, p, n, r, v, texture_size, max_score_views
+            )
+
+        def _xla(im, cam, p, n, r, v):
+            return patch_ncc_scores(
+                im, cam, p, n, r, v, texture_size, max_score_views,
+                impl="xla",
+            )
+
+        return jax.lax.platform_dependent(
+            images, cameras, position, normal, ref, vis,
+            tpu=_fused, default=_xla,
+        )
     if impl == "fused":
         from densepoints_tpu.ops.warp_ncc import patch_ncc_scores_fused
 
