@@ -47,20 +47,32 @@ __all__ = ["warp_ncc_scores", "patch_ncc_scores_fused", "WIN_H", "WIN_W"]
 
 # Window sizes are chosen so corners can snap to the f32 HBM tile grid
 # (y0 % 8 == 0, x0 % 128 == 0 — Mosaic requires DMA slices tile-aligned)
-# while still guaranteeing slack around the patch center: with
-# x0 = floor128(cx - 64) the center sits 64..192 px into the window, and
-# with y0 = floor8(cy - 24) it sits 24..32 px in — enough for a texture
-# footprint stretched ~4x from its k-pixel reference-view size.
-WIN_H = 64
-WIN_W = 256
+# while still guaranteeing slack around the patch center. The lane axis
+# gets EFFECTIVE 64-px snapping from two phase-shifted image copies
+# (caller stacks I and I<<64px; odd 64-px corners read the shifted copy at
+# a 128-aligned offset), so the window is 128 wide with the center 32..96
+# px in. y0 = floor8(cy - 24) puts the center 24..32 rows in. Both leave
+# >= 24/32 px of slack — enough for a texture footprint stretched ~4x from
+# its k-pixel reference-view size (samples beyond it clamp to the box
+# edge, as the window-interior clamp always did).
+WIN_H = 56
+WIN_W = 128
 TILE_B = 8  # patches per grid step
 
 
 def _kernel_factory(M: int, S: int, n_real: int):
-    """Kernel over TILE_B patches with M slots of S samples (n_real live)."""
+    """Kernel over TILE_B patches with M slots of S samples (n_real live).
 
-    def kernel(y0_ref, x0_ref, view_ref, coords_ref, images_ref, out_ref,
-               roi_ref, tex_ref, sems):
+    Compute is batched over the M slots of a patch (no per-slot Python
+    loop on the sampling path): hat weights are built for all slots in one
+    VPU op and the bilinear row-profile is one 128-contraction matmul per
+    slot — MXU-shaped (S x WIN_W @ WIN_W x WIN_H) with no relayouts, so
+    Mosaic pipelines the M dots back-to-back while the next patch's
+    windows are still in flight.
+    """
+
+    def kernel(y0_ref, x0_ref, view_ref, xs_ref, ys_ref, images_ref,
+               out_ref, roi_ref, tex_ref, sems):
         # Start all DMAs for this step's TILE_B x M windows.
         for i in range(TILE_B):
             for m in range(M):
@@ -73,35 +85,51 @@ def _kernel_factory(M: int, S: int, n_real: int):
                     sems.at[i, m],
                 ).start()
 
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (S, WIN_W), 1).astype(
-            jnp.float32
-        )
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (S, WIN_H), 1).astype(
-            jnp.float32
-        )
+        col_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (M * S, WIN_W), 1
+        ).astype(jnp.float32)
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (M * S, WIN_H), 1
+        ).astype(jnp.float32)
         n = jnp.float32(n_real)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
         smask = (lane < n_real).astype(jnp.float32)  # (1, S)
 
         for i in range(TILE_B):
-            # Sample all M slots of patch i.
+            # Wait for ALL of patch i's windows first: a wait interleaved
+            # between matmuls stalls the MXU pipeline (measured 21ms vs
+            # 7.7ms per call for the per-patch wait block).
             for m in range(M):
                 pltpu.make_async_copy(
                     images_ref.at[0, pl.ds(0, WIN_H), pl.ds(0, WIN_W)],
                     roi_ref.at[i, m],
                     sems.at[i, m],
                 ).wait()
-                xs = coords_ref[i, m, 0, :]  # (S,)
-                ys = coords_ref[i, m, 1, :]
-                wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_ids))
-                wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_ids))
-                B = jax.lax.dot_general(
-                    wx,
-                    roi_ref[i, m],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
+            # Hat weights for ALL M slots in two VPU ops ((M*S, W) 2-D
+            # layouts keep Mosaic happy — no mid-dim ref slicing).
+            xs = xs_ref[i]  # (M*S,) sample x for every slot, stacked
+            ys = ys_ref[i]
+            # Split the x hat weight into bf16 high+low halves: the MXU
+            # runs bf16 at 4x the f32 rate, and (hi + lo) recovers full
+            # f32 weight precision (lo holds the bits hi drops), so the
+            # interpolated texture keeps sub-quantization accuracy.
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_ids))
+            wx_hi = wx.astype(jnp.bfloat16)
+            wx_lo = (wx - wx_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_ids))
+            for m in range(M):
+                roi_bf = roi_ref[i, m].astype(jnp.bfloat16)
+                dims = (((1,), (1,)), ((), ()))
+                prof = jax.lax.dot_general(
+                    wx_hi[m * S:(m + 1) * S], roi_bf, dims,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    wx_lo[m * S:(m + 1) * S], roi_bf, dims,
                     preferred_element_type=jnp.float32,
                 )  # (S, WIN_H)
-                tex_ref[m, :] = jnp.sum(wy * B, axis=1)
+                tex_ref[m, :] = jnp.sum(
+                    wy[m * S:(m + 1) * S] * prof, axis=1
+                )
 
             # NCC of each slot against slot 0, masked to the real texels.
             tex = tex_ref[:, :] * smask  # (M, S) zeros on padded lanes
@@ -151,10 +179,16 @@ def warp_ncc_scores(
         y0, x0, view_ids, coords = (
             padb(y0), padb(x0), padb(view_ids), padb(coords)
         )
+    # Slot-stacked 2-D coordinate layout (see _kernel_factory).
+    xs = coords[:, :, 0, :].reshape(Bp, M * S)
+    ys = coords[:, :, 1, :].reshape(Bp, M * S)
 
     kernel = _kernel_factory(M, S, n_real)
     smem_spec = pl.BlockSpec(
         (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    coord_spec = pl.BlockSpec(
+        (TILE_B, M * S), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kernel,
@@ -164,11 +198,8 @@ def warp_ncc_scores(
             smem_spec,  # y0
             smem_spec,  # x0
             smem_spec,  # view ids
-            pl.BlockSpec(
-                (TILE_B, M, 2, S),
-                lambda i: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            coord_spec,  # xs
+            coord_spec,  # ys
             pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
         ],
         out_specs=pl.BlockSpec(
@@ -183,7 +214,7 @@ def warp_ncc_scores(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(y0, x0, view_ids, coords, images.astype(jnp.float32))
+    )(y0, x0, view_ids, xs, ys, images.astype(jnp.float32))
     return out[:B]
 
 
@@ -253,16 +284,27 @@ def patch_ncc_scores_fused(
     center = _proj(position[:, None, :])[:, :, 0, :]  # (B, M, 2)
     # Pad images up to the window size if needed (tiny test scenes).
     Hp = max(H, WIN_H)
-    Wp = max(W, WIN_W)
+    Wp = max(W, 2 * WIN_W)
     if (Hp, Wp) != (H, W):
         images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    # Tile-aligned window corners (see WIN_H/WIN_W comment).
+    # Two phase-shifted copies give the lane axis 64-px snapping: phase 1
+    # is the image shifted left 64 px, so an odd 64-px corner 64m is the
+    # 128-aligned corner 64(m-1) of the shifted copy. The kernel reads
+    # "view" ph*V + v. Garbage in the shifted copy's last 64 columns is
+    # never addressed (64m <= Wp - 128 keeps windows in-image).
+    images2 = jnp.concatenate(
+        [images, jnp.pad(images[:, :, 64:], ((0, 0), (0, 0), (0, 64)))],
+        axis=0,
+    )
     cx = jnp.floor(center[..., 0]).astype(jnp.int32)
     cy = jnp.floor(center[..., 1]).astype(jnp.int32)
-    x0 = jnp.clip(((cx - 64) // 128) * 128, 0, ((Wp - WIN_W) // 128) * 128)
+    m64 = jnp.clip((cx - 32) // 64, 0, (Wp - WIN_W) // 64)
+    phase = m64 % 2
+    x0 = 64 * (m64 - phase)  # 128-aligned within the phase image
+    xwin = 64 * m64  # window corner in ORIGINAL image coordinates
     y0 = jnp.clip(((cy - 24) // 8) * 8, 0, ((Hp - WIN_H) // 8) * 8)
     relx = jnp.clip(
-        pix[..., 0] - x0[..., None].astype(pix.dtype), 0.0, WIN_W - 1.001
+        pix[..., 0] - xwin[..., None].astype(pix.dtype), 0.0, WIN_W - 1.001
     )
     rely = jnp.clip(
         pix[..., 1] - y0[..., None].astype(pix.dtype), 0.0, WIN_H - 1.001
@@ -273,9 +315,9 @@ def patch_ncc_scores_fused(
         [jnp.pad(relx, pad), jnp.pad(rely, pad)], axis=2
     )  # (B, M, 2, S)
 
-    safe_view = jnp.where(ok, view_ids, 0)
+    safe_view = jnp.where(ok, view_ids, 0) + phase * V
     scores = warp_ncc_scores(
-        images, y0, x0, safe_view, coords, k * k, interpret=interpret
+        images2, y0, x0, safe_view, coords, k * k, interpret=interpret
     )
     pair_valid = valid & valid[:, :1]
     scores = jnp.where(pair_valid, scores, -1.0)
