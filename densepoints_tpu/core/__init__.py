@@ -5,4 +5,9 @@ from densepoints_tpu.core.cameras import (
     project_point_all_views,
     project_points,
 )
-from densepoints_tpu.core.scores import ncc_score, ncc_score_by_channel, ssd_score
+from densepoints_tpu.core.scores import (
+    ncc_score,
+    ncc_score_by_channel,
+    sad_score,
+    ssd_score,
+)

@@ -21,7 +21,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import Array
 
-__all__ = ["ncc_score", "ssd_score", "ncc_score_by_channel", "NCC_MIN_DENOM"]
+__all__ = [
+    "ncc_score",
+    "ssd_score",
+    "sad_score",
+    "ncc_score_by_channel",
+    "NCC_MIN_DENOM",
+]
 
 NCC_MIN_DENOM = 0.1
 NCC_CHANNEL_MIN_DENOM = 1e-3
@@ -77,6 +83,24 @@ def ssd_score(a: Array, b: Array, mask: Array | None = None) -> Array:
     m = mask.astype(a.dtype)
     n = jnp.sum(m, axis=-1)
     score = jnp.sum(d2 * m, axis=-1) / jnp.maximum(n, 1.0)
+    return jnp.where(n > 0, score, jnp.asarray(EMPTY_SCORE, score.dtype))
+
+
+def sad_score(a: Array, b: Array, mask: Array | None = None) -> Array:
+    """Mean absolute difference over the trailing axis.
+
+    The reference declares SAD in the `ErrorMeasurement` enum
+    (methods/pmvs/patch.h:93) but never implements it; provided here so the
+    enum is fully usable.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    d = jnp.abs(a - b)
+    if mask is None:
+        return jnp.mean(d, axis=-1)
+    m = mask.astype(a.dtype)
+    n = jnp.sum(m, axis=-1)
+    score = jnp.sum(d * m, axis=-1) / jnp.maximum(n, 1.0)
     return jnp.where(n > 0, score, jnp.asarray(EMPTY_SCORE, score.dtype))
 
 

@@ -9,5 +9,6 @@ from densepoints_tpu.features.matching import (
     filter_matches_epipolar,
     hamming_distance_matrix,
     match_pair,
+    match_pair_absolute,
 )
 from densepoints_tpu.features.tracks import build_tracks, triangulate_tracks

@@ -24,7 +24,12 @@ from densepoints_tpu.geometry.fundamental import (
     point_line_distance,
 )
 
-__all__ = ["hamming_distance_matrix", "match_pair", "direct_epipolar_pair"]
+__all__ = [
+    "hamming_distance_matrix",
+    "match_pair",
+    "match_pair_absolute",
+    "direct_epipolar_pair",
+]
 
 
 def hamming_distance_matrix(desc1: jax.Array, desc2: jax.Array) -> jax.Array:
@@ -63,6 +68,31 @@ def match_pair(
     d1, d2 = -neg_top2[:, 0], -neg_top2[:, 1]
     ok = valid1 & (d1 < lowe_ratio * d2) & (d2 < big)
     return jnp.where(ok, idx_top2[:, 0], -1).astype(jnp.int32), d1
+
+
+@jax.jit
+def match_pair_absolute(
+    desc1: jax.Array,
+    desc2: jax.Array,
+    valid1: jax.Array,
+    valid2: jax.Array,
+    max_distance: float = 30.0,
+):
+    """Nearest-neighbor matching with an absolute Hamming-distance cutoff.
+
+    Parity with the reference's FLANN/LSH path (matcher.cpp:227-240): the
+    LSH index returns approximate nearest neighbors and matches with
+    distance < 30 are kept. Here the exact 1-NN over the MXU Hamming matrix
+    plays the LSH role (strictly better recall at TPU-native cost).
+    Returns (match_idx (N,) int32 or -1, distance (N,) float32).
+    """
+    ham = hamming_distance_matrix(desc1, desc2)  # (N, M)
+    big = jnp.asarray(1e9, ham.dtype)
+    ham = jnp.where(valid2[None, :], ham, big)
+    best = jnp.argmin(ham, axis=1)
+    dbest = jnp.take_along_axis(ham, best[:, None], axis=1)[:, 0]
+    ok = valid1 & (dbest < max_distance)
+    return jnp.where(ok, best, -1).astype(jnp.int32), dbest
 
 
 def filter_matches_epipolar(

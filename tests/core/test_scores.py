@@ -68,3 +68,15 @@ def test_ncc_by_channel_self_positive():
     score = float(ncc_score_by_channel(a, a))
     # Self-score: each channel contributes N*var/max(var, eps) ~= N -> /(N*3) ~= 1.
     np.testing.assert_allclose(score, 1.0, rtol=1e-4)
+
+
+def test_sad():
+    from densepoints_tpu.core import sad_score
+
+    a = np.array([1.0, 2.0, 3.0], np.float32)
+    b = np.array([2.0, 2.0, 5.0], np.float32)
+    np.testing.assert_allclose(float(sad_score(a, b)), (1 + 0 + 2) / 3.0)
+    mask = jnp.asarray(np.array([True, True, False]))
+    np.testing.assert_allclose(float(sad_score(a, b, mask)), 0.5)
+    empty = jnp.asarray(np.zeros(3, bool))
+    assert float(sad_score(a, b, empty)) == -1.0

@@ -75,3 +75,22 @@ def test_direct_epipolar_matching(rng):
     got = np.asarray(midx)
     assert (got >= 0).sum() >= 20
     assert np.all(np.asarray(dist)[got >= 0] <= 1.5)
+
+
+def test_match_pair_absolute_self_match():
+    # Each descriptor's exact copy is distance 0 < 30 -> identity matching,
+    # mirroring the reference's FLANN path absolute cutoff (matcher.cpp:240).
+    from densepoints_tpu.features import match_pair_absolute
+
+    rng = np.random.default_rng(7)
+    desc = jnp.asarray(
+        np.where(rng.uniform(size=(64, 256)) > 0.5, 1.0, -1.0).astype(np.float32)
+    )
+    valid = jnp.ones((64,), bool)
+    midx, dist = match_pair_absolute(desc, desc, valid, valid)
+    np.testing.assert_array_equal(np.asarray(midx), np.arange(64))
+    np.testing.assert_allclose(np.asarray(dist), 0.0)
+    # Far descriptors (flip > 30 bits) must be rejected.
+    flipped = -desc
+    midx2, _ = match_pair_absolute(desc, flipped, valid, valid)
+    assert np.all(np.asarray(midx2) == -1)
