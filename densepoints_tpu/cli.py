@@ -28,12 +28,45 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--mesh", help="also extract a surface mesh to this path (.ply)"
     )
+    p.add_argument(
+        "--checkpoint-dir",
+        help="write stage-boundary checkpoints here (resume with --resume)",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from the latest checkpoint in --checkpoint-dir",
+    )
+    p.add_argument(
+        "--debug-dir",
+        help="dump stage artifacts (seed/final clouds, occupancy grids) "
+        "— the reference's DEBUG_PMVS_* CMake flags as a runtime option",
+    )
+    p.add_argument(
+        "--profile-dir", help="write a jax.profiler trace of the run here"
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     config = load_config(args.settings) if args.settings else PipelineConfig()
+    runtime_overrides = {
+        key: value
+        for key, value in (
+            ("checkpoint_dir", args.checkpoint_dir),
+            ("resume", args.resume),
+            ("debug_dir", args.debug_dir),
+            ("profile_dir", args.profile_dir),
+        )
+        if value
+    }
+    if runtime_overrides:
+        import dataclasses
+
+        config = config.replace(
+            runtime=dataclasses.replace(config.runtime, **runtime_overrides)
+        )
 
     from densepoints_tpu.io.scene import load_scene
     from densepoints_tpu.pmvs.pipeline import densify

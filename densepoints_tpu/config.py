@@ -147,6 +147,20 @@ class ParallelConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Observability + persistence around the pipeline (SURVEY.md §5).
+
+    The reference's analogs: compile-time DEBUG_PMVS_* artifact dumps
+    (CMakeLists.txt:11-14) and nothing at all for checkpoints/profiling.
+    """
+
+    checkpoint_dir: str = ""  # stage-boundary PatchState snapshots
+    resume: bool = False  # resume from the latest checkpoint in the dir
+    debug_dir: str = ""  # stage artifact dumps (clouds, occupancy)
+    profile_dir: str = ""  # jax.profiler trace output
+
+
+@dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     matching: MatchingConfig = dataclasses.field(default_factory=MatchingConfig)
     seed: SeedConfig = dataclasses.field(default_factory=SeedConfig)
@@ -158,6 +172,7 @@ class PipelineConfig:
     ba: BAConfig = dataclasses.field(default_factory=BAConfig)
     surface: SurfaceConfig = dataclasses.field(default_factory=SurfaceConfig)
     parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)
@@ -191,6 +206,7 @@ _SECTION_TYPES = {
     "ba": BAConfig,
     "surface": SurfaceConfig,
     "parallel": ParallelConfig,
+    "runtime": RuntimeConfig,
 }
 
 

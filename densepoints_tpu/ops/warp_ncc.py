@@ -58,6 +58,12 @@ __all__ = ["warp_ncc_scores", "patch_ncc_scores_fused", "WIN_H", "WIN_W"]
 WIN_H = 56
 WIN_W = 128
 TILE_B = 8  # patches per grid step
+# Images up to this many bytes are pinned whole in VMEM (the "resident"
+# kernel): window reads become dynamic VMEM slices feeding the MXU directly,
+# eliminating all per-slot DMA issue/wait overhead (the measured dominant
+# cost of the DMA kernel at bench shapes). Larger image sets stream windows
+# from HBM with per-slot async copies.
+RESIDENT_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def _kernel_factory(M: int, S: int, n_real: int):
@@ -147,6 +153,80 @@ def _kernel_factory(M: int, S: int, n_real: int):
     return kernel
 
 
+def _kernel_factory_resident(M: int, S: int, n_real: int):
+    """Kernel variant with the WHOLE image set resident in VMEM as bf16.
+
+    Windows are dynamic VMEM slices feeding the MXU directly — no DMA
+    issues, no semaphores, no ROI scratch, no per-slot casts. The image
+    stack arrives flattened to (pages * Hp, Wp) so a slot read is a single
+    sublane-offset slice at row0 = view * Hp + y0 (both multiples of 8).
+
+    x-interpolation is EXACT one-hot sampling instead of dense hat weights
+    (ablation: the hat build was 57% of kernel time): E[s, c] = (c == ix[s])
+    costs 2 dense VPU ops (vs 7 for hi+lo hats), and the left/right image
+    columns come from two MXU matmuls of E against the ROI and its
+    lane-rolled copy; the fractional x-blend then happens in f32 on the
+    small (S, WIN_H) profile, so precision equals the old hi+lo scheme
+    (exact weights x bf16 image).
+    """
+
+    def kernel(row0_ref, x0_ref, xs_ref, ys_ref, images_ref, out_ref,
+               tex_ref):
+        col_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (M * S, WIN_W), 1
+        ).astype(jnp.float32)
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (M * S, WIN_H), 1
+        ).astype(jnp.float32)
+        n = jnp.float32(n_real)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        smask = (lane < n_real).astype(jnp.float32)  # (1, S)
+        dims = (((1,), (1,)), ((), ()))
+
+        for i in range(TILE_B):
+            xs = xs_ref[i]  # (M*S,)
+            ys = ys_ref[i]
+            ix = jnp.floor(xs)
+            fx = xs - ix
+            E = (col_ids == ix[:, None]).astype(jnp.bfloat16)  # one-hot
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_ids))
+            for m in range(M):
+                row0 = pl.multiple_of(row0_ref[i, m], 8)
+                x0 = pl.multiple_of(x0_ref[i, m], 128)
+                roi = images_ref[pl.ds(row0, WIN_H), pl.ds(x0, WIN_W)]
+                # roi_s[h, c] = roi[h, c+1]; column ix+1 of roi is column
+                # ix of roi_s, so E serves both matmuls. Samples are
+                # clamped below WIN_W - 1 so the wrapped last column is
+                # never selected.
+                roi_s = pltpu.roll(roi, WIN_W - 1, 1)  # == roll by -1
+                Em = E[m * S:(m + 1) * S]
+                left = jax.lax.dot_general(
+                    Em, roi, dims, preferred_element_type=jnp.float32
+                )  # (S, WIN_H)
+                right = jax.lax.dot_general(
+                    Em, roi_s, dims, preferred_element_type=jnp.float32
+                )
+                fxm = fx[m * S:(m + 1) * S][:, None]
+                prof = left + fxm * (right - left)
+                tex_ref[m, :] = jnp.sum(
+                    wy[m * S:(m + 1) * S] * prof, axis=1
+                )
+
+            tex = tex_ref[:, :] * smask  # (M, S)
+            anchor = tex[0:1, :]
+            am = jnp.sum(anchor, axis=1, keepdims=True) / n
+            tm = jnp.sum(tex, axis=1, keepdims=True) / n
+            ca = (anchor - am) * smask
+            ct = (tex - tm) * smask
+            cov = jnp.sum(ca * ct, axis=1) / n
+            va = jnp.sum(ca * ca, axis=1) / n
+            vt = jnp.sum(ct * ct, axis=1) / n
+            denom = jnp.maximum(jnp.sqrt(va) * jnp.sqrt(vt), NCC_MIN_DENOM)
+            out_ref[i, :] = cov / denom
+
+    return kernel
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_real", "interpret")
 )
@@ -183,6 +263,11 @@ def warp_ncc_scores(
     xs = coords[:, :, 0, :].reshape(Bp, M * S)
     ys = coords[:, :, 1, :].reshape(Bp, M * S)
 
+    if images.size * 2 <= RESIDENT_LIMIT_BYTES:  # bf16-resident bytes
+        return _warp_ncc_resident(
+            images, y0, x0, view_ids, xs, ys, Bp, B, M, S, n_real, interpret
+        )
+
     kernel = _kernel_factory(M, S, n_real)
     smem_spec = pl.BlockSpec(
         (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.SMEM
@@ -215,6 +300,48 @@ def warp_ncc_scores(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(y0, x0, view_ids, xs, ys, images.astype(jnp.float32))
+    return out[:B]
+
+
+def _warp_ncc_resident(
+    images, y0, x0, view_ids, xs, ys, Bp, B, M, S, n_real, interpret
+):
+    """Resident-images dispatch: flatten pages into rows, one slice per slot."""
+    P, H, W = images.shape
+    Hp = -(-H // 8) * 8
+    if Hp != H:
+        images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, 0)))
+    flat = images.reshape(P * Hp, W)
+    row0 = view_ids * Hp + y0  # both multiples of 8 -> row0 % 8 == 0
+    kernel = _kernel_factory_resident(M, S, n_real)
+    smem_spec = pl.BlockSpec(
+        (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    coord_spec = pl.BlockSpec(
+        (TILE_B, M * S), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, M), jnp.float32),
+        grid=(Bp // TILE_B,),
+        in_specs=[
+            smem_spec,  # row0
+            smem_spec,  # x0
+            coord_spec,  # xs
+            coord_spec,  # ys
+            pl.BlockSpec(
+                (P * Hp, W), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),  # whole image stack, fetched once (constant index map)
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((M, S), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(row0, x0, xs, ys, flat.astype(jnp.bfloat16))
     return out[:B]
 
 

@@ -97,10 +97,60 @@ def _bundle_adjust(cameras: Cameras, points, obs, obs_mask, ba_config):
 def densify(
     scene: Scene, config: PipelineConfig = PipelineConfig()
 ) -> DensifyResult:
-    """Run the full PMVS pipeline on a loaded scene (single host)."""
+    """Run the full PMVS pipeline on a loaded scene (single host).
+
+    `config.runtime` adds the observability/persistence shell: stage
+    checkpoints (+ resume from the latest one), debug artifact dumps, and a
+    jax.profiler trace (SURVEY.md §5.1/§5.4).
+    """
+    rt = config.runtime
+    if rt.profile_dir:
+        import jax
+
+        profile_ctx = jax.profiler.trace(rt.profile_dir)
+    else:
+        import contextlib
+
+        profile_ctx = contextlib.nullcontext()
+    with profile_ctx:
+        return _densify_inner(scene, config)
+
+
+def _checkpoint(rt, state, stage):
+    if rt.checkpoint_dir:
+        from densepoints_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            f"{rt.checkpoint_dir}/{stage}.npz", state, stage=stage
+        )
+
+
+def _densify_inner(
+    scene: Scene, config: PipelineConfig
+) -> DensifyResult:
     metrics = StageMetrics()
     cameras: Cameras = scene.cameras
     images = jnp.asarray(scene.images)
+    rt = config.runtime
+
+    resume_state = resume_stage = None
+    if rt.resume and rt.checkpoint_dir:
+        from densepoints_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        ckpt = latest_checkpoint(rt.checkpoint_dir)
+        if ckpt is not None:
+            resume_state, meta = load_checkpoint(ckpt)
+            resume_stage = meta.get("stage")
+            log.info("resuming from %s (stage %s)", ckpt, resume_stage)
+
+    if resume_state is not None:
+        return _densify_from(
+            images, cameras, scene, config, metrics, resume_state,
+            resume_stage,
+        )
 
     with metrics.stage("seed"):
         points, obs, obs_mask = generate_seed_points(
@@ -134,25 +184,56 @@ def densify(
             state = optimize_patches(
                 images, cameras, state, config.seed.texture_size, config.optimize
             )
+    _checkpoint(rt, state, "seeds_optimized")
 
-    if config.multiscale.levels > 1:
-        with metrics.stage("expand_multiscale"):
-            from densepoints_tpu.multiscale import densify_multiscale
+    return _densify_from(
+        images, cameras, scene, config, metrics, state, "seeds_optimized"
+    )
 
-            state = densify_multiscale(images, cameras, state, config)
-        metrics.count("patches_final", state.capacity)
-    else:
-        with metrics.stage("expand"):
-            state, grids = expand_patches(
-                images,
-                cameras,
-                state,
-                config.expand,
-                config.organizer,
-                config.optimize,
-            )
-        metrics.count("patches_after_expand", state.capacity)
 
+def _densify_from(
+    images, cameras, scene, config, metrics, state, stage
+) -> DensifyResult:
+    """Run the pipeline from `stage` onward (also the resume entry point).
+
+    Stages: seeds_optimized -> expanded -> final. Resume note: checkpoints
+    carry only patch state, so a resumed run uses the scene's cameras as-is
+    (BA-refined extrinsics are not replayed; BA is off by default).
+    """
+    rt = config.runtime
+    if rt.debug_dir and stage == "seeds_optimized":
+        from densepoints_tpu.utils import debug
+
+        debug.dump_cloud(rt.debug_dir, "seeds", state)
+
+    if stage == "seeds_optimized":
+        if config.multiscale.levels > 1:
+            with metrics.stage("expand_multiscale"):
+                from densepoints_tpu.multiscale import densify_multiscale
+
+                state = densify_multiscale(images, cameras, state, config)
+            metrics.count("patches_final", state.capacity)
+            _checkpoint(rt, state, "final")
+            stage = "final"
+        else:
+            with metrics.stage("expand"):
+                state, grids = expand_patches(
+                    images,
+                    cameras,
+                    state,
+                    config.expand,
+                    config.organizer,
+                    config.optimize,
+                )
+            metrics.count("patches_after_expand", state.capacity)
+            if rt.debug_dir:
+                from densepoints_tpu.utils import debug
+
+                debug.dump_occupancy(rt.debug_dir, grids)
+            _checkpoint(rt, state, "expanded")
+            stage = "expanded"
+
+    if stage == "expanded":
         with metrics.stage("filter"):
             state = run_filters(
                 cameras,
@@ -163,6 +244,7 @@ def densify(
             )
             state = state.compact()
         metrics.count("patches_final", state.capacity)
+        _checkpoint(rt, state, "final")
 
     with metrics.stage("color"):
         if scene.colors is not None and state.capacity:
@@ -170,6 +252,11 @@ def densify(
                 cameras, jnp.asarray(scene.colors), state.position
             )
             state = dataclasses.replace(state, color=color)
+
+    if rt.debug_dir:
+        from densepoints_tpu.utils import debug
+
+        debug.dump_cloud(rt.debug_dir, "final", state)
 
     log.info("densify done: %s", metrics.summary())
     return DensifyResult(patches=state, metrics=metrics)

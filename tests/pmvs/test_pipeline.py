@@ -87,3 +87,32 @@ def test_cli_main(tmp_path, rng):
     assert out.exists()
     cloud = read_ply(out)
     assert len(cloud["positions"]) > 10
+
+
+def test_densify_checkpoint_resume_and_debug_dumps(tmp_path, rng):
+    from densepoints_tpu.config import RuntimeConfig
+
+    scene_path, scene = _write_scene(tmp_path, rng)
+    loaded = load_scene(scene_path)
+    ckpt_dir = tmp_path / "ckpt"
+    dbg_dir = tmp_path / "dbg"
+    config = dataclasses.replace(
+        _fast_config(),
+        runtime=RuntimeConfig(
+            checkpoint_dir=str(ckpt_dir), debug_dir=str(dbg_dir)
+        ),
+    )
+    result = densify(loaded, config)
+    names = {p.name for p in ckpt_dir.glob("*.npz")}
+    assert {"seeds_optimized.npz", "expanded.npz", "final.npz"} <= names
+    dumped = list(dbg_dir.rglob("*"))
+    assert any(p.suffix == ".ply" for p in dumped), dumped
+
+    # Resume from the final checkpoint: only color reruns; the cloud must
+    # match the original run's patch count.
+    config_resume = dataclasses.replace(
+        config,
+        runtime=RuntimeConfig(checkpoint_dir=str(ckpt_dir), resume=True),
+    )
+    resumed = densify(loaded, config_resume)
+    assert resumed.patches.capacity == result.patches.capacity
