@@ -163,11 +163,12 @@ def _kernel_factory_resident(M: int, S: int, n_real: int):
 
     x-interpolation is EXACT one-hot sampling instead of dense hat weights
     (ablation: the hat build was 57% of kernel time): E[s, c] = (c == ix[s])
-    costs 2 dense VPU ops (vs 7 for hi+lo hats), and the left/right image
-    columns come from two MXU matmuls of E against the ROI and its
-    lane-rolled copy; the fractional x-blend then happens in f32 on the
-    small (S, WIN_H) profile, so precision equals the old hi+lo scheme
-    (exact weights x bf16 image).
+    and E2[s, c] = (c == ix[s] + 1) cost 4 dense VPU ops (vs 7 for hi+lo
+    hats), and the left/right image columns come from two MXU matmuls of
+    E/E2 against the SAME ROI (no lane rotate — Mosaic cannot rotate
+    non-32-bit vectors, the round-1 bench failure); the fractional x-blend
+    then happens in f32 on the small (S, WIN_H) profile, so precision
+    equals the old hi+lo scheme (exact weights x bf16 image).
     """
 
     def kernel(row0_ref, x0_ref, xs_ref, ys_ref, images_ref, out_ref,
@@ -188,23 +189,22 @@ def _kernel_factory_resident(M: int, S: int, n_real: int):
             ys = ys_ref[i]
             ix = jnp.floor(xs)
             fx = xs - ix
-            E = (col_ids == ix[:, None]).astype(jnp.bfloat16)  # one-hot
+            E = (col_ids == ix[:, None]).astype(jnp.bfloat16)  # one-hot ix
+            # Second one-hot selects column ix+1 directly (samples are
+            # clamped below WIN_W - 1, so ix + 1 <= WIN_W - 1 is in range).
+            E2 = (col_ids == ix[:, None] + 1.0).astype(jnp.bfloat16)
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_ids))
             for m in range(M):
                 row0 = pl.multiple_of(row0_ref[i, m], 8)
                 x0 = pl.multiple_of(x0_ref[i, m], 128)
                 roi = images_ref[pl.ds(row0, WIN_H), pl.ds(x0, WIN_W)]
-                # roi_s[h, c] = roi[h, c+1]; column ix+1 of roi is column
-                # ix of roi_s, so E serves both matmuls. Samples are
-                # clamped below WIN_W - 1 so the wrapped last column is
-                # never selected.
-                roi_s = pltpu.roll(roi, WIN_W - 1, 1)  # == roll by -1
                 Em = E[m * S:(m + 1) * S]
+                E2m = E2[m * S:(m + 1) * S]
                 left = jax.lax.dot_general(
                     Em, roi, dims, preferred_element_type=jnp.float32
                 )  # (S, WIN_H)
                 right = jax.lax.dot_general(
-                    Em, roi_s, dims, preferred_element_type=jnp.float32
+                    E2m, roi, dims, preferred_element_type=jnp.float32
                 )
                 fxm = fx[m * S:(m + 1) * S][:, None]
                 prof = left + fxm * (right - left)
