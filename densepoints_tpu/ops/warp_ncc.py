@@ -62,8 +62,31 @@ TILE_B = 8  # patches per grid step
 # kernel): window reads become dynamic VMEM slices feeding the MXU directly,
 # eliminating all per-slot DMA issue/wait overhead (the measured dominant
 # cost of the DMA kernel at bench shapes). Larger image sets stream windows
-# from HBM with per-slot async copies.
-RESIDENT_LIMIT_BYTES = 64 * 1024 * 1024
+# from HBM with per-slot async copies. The default is derived from the
+# device generation's VMEM capacity (minus workspace for the kernel's
+# weights/profiles); DENSEPOINTS_RESIDENT_LIMIT overrides it.
+
+
+def _default_resident_limit() -> int:
+    import os
+
+    env = os.environ.get("DENSEPOINTS_RESIDENT_LIMIT")
+    if env is not None:
+        return int(env)
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 8 * 1024 * 1024
+    # 128 MiB VMEM parts (v4/v5e/v5p/v6e) can pin 64 MiB of images and
+    # still leave half for weights/profiles; older/unknown parts with
+    # 16-32 MiB VMEM get a conservative 8 MiB and stream the rest.
+    big_vmem = ("v4", "v5", "v6", "lite")
+    if any(t in kind for t in big_vmem):
+        return 64 * 1024 * 1024
+    return 8 * 1024 * 1024
+
+
+RESIDENT_LIMIT_BYTES = _default_resident_limit()
 
 
 def _kernel_factory(M: int, S: int, n_real: int):
@@ -161,23 +184,29 @@ def _kernel_factory_resident(M: int, S: int, n_real: int):
     stack arrives flattened to (pages * Hp, Wp) so a slot read is a single
     sublane-offset slice at row0 = view * Hp + y0 (both multiples of 8).
 
-    x-interpolation is EXACT one-hot sampling instead of dense hat weights
-    (ablation: the hat build was 57% of kernel time): E[s, c] = (c == ix[s])
-    and E2[s, c] = (c == ix[s] + 1) cost 4 dense VPU ops (vs 7 for hi+lo
-    hats), and the left/right image columns come from two MXU matmuls of
-    E/E2 against the SAME ROI (no lane rotate — Mosaic cannot rotate
-    non-32-bit vectors, the round-1 bench failure); the fractional x-blend
-    then happens in f32 on the small (S, WIN_H) profile, so precision
-    equals the old hi+lo scheme (exact weights x bf16 image).
+    Two measured design points (scripts/kernel_ablate.py on v5e):
+      * matmul orientation is TRANSPOSED — roi @ E^T streams WIN_H rows
+        through the MXU for an S-wide output instead of S rows for a
+        WIN_H-wide one (WIN_H=56 < S=128, so the non-transposed form left
+        ~44% of the systolic array idle): 11.6 -> 5.1 ms/call;
+      * the x one-hots are built as bf16 HATS, E = max(0, 1 - |ix - c|):
+        ix and the column ids are small integers (exact in bf16, WIN_W-1
+        <= 127 < 2^8 mantissa), so the hat IS the exact one-hot — with no
+        f32 compare and no f32->bf16 cast relayout (the measured dominant
+        VPU cost of the compare build): 5.1 -> 4.1 ms/call.
+    The fractional x-blend happens in f32 on the small (WIN_H, S) profile,
+    so precision equals exact-weight x bf16-image sampling. No lane rotate
+    anywhere (Mosaic cannot rotate non-32-bit vectors — the round-1 bench
+    failure).
     """
 
     def kernel(row0_ref, x0_ref, xs_ref, ys_ref, images_ref, out_ref,
                tex_ref):
-        col_ids = jax.lax.broadcasted_iota(
+        col_ids_bf = jax.lax.broadcasted_iota(
             jnp.int32, (M * S, WIN_W), 1
-        ).astype(jnp.float32)
-        row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (M * S, WIN_H), 1
+        ).astype(jnp.float32).astype(jnp.bfloat16)
+        rows_h = jax.lax.broadcasted_iota(
+            jnp.int32, (WIN_H, M * S), 0
         ).astype(jnp.float32)
         n = jnp.float32(n_real)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
@@ -189,27 +218,33 @@ def _kernel_factory_resident(M: int, S: int, n_real: int):
             ys = ys_ref[i]
             ix = jnp.floor(xs)
             fx = xs - ix
-            E = (col_ids == ix[:, None]).astype(jnp.bfloat16)  # one-hot ix
-            # Second one-hot selects column ix+1 directly (samples are
-            # clamped below WIN_W - 1, so ix + 1 <= WIN_W - 1 is in range).
-            E2 = (col_ids == ix[:, None] + 1.0).astype(jnp.bfloat16)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_ids))
+            # Exact one-hots as bf16 hats (see docstring). E2 selects column
+            # ix+1 (samples are clamped below WIN_W - 1, so it's in range).
+            d = ix[:, None].astype(jnp.bfloat16) - col_ids_bf
+            E = jnp.maximum(
+                jnp.bfloat16(0.0), jnp.bfloat16(1.0) - jnp.abs(d)
+            )
+            E2 = jnp.maximum(
+                jnp.bfloat16(0.0),
+                jnp.bfloat16(1.0) - jnp.abs(d + jnp.bfloat16(1.0)),
+            )
+            wyT = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, :] - rows_h))
             for m in range(M):
                 row0 = pl.multiple_of(row0_ref[i, m], 8)
                 x0 = pl.multiple_of(x0_ref[i, m], 128)
                 roi = images_ref[pl.ds(row0, WIN_H), pl.ds(x0, WIN_W)]
-                Em = E[m * S:(m + 1) * S]
-                E2m = E2[m * S:(m + 1) * S]
                 left = jax.lax.dot_general(
-                    Em, roi, dims, preferred_element_type=jnp.float32
-                )  # (S, WIN_H)
+                    roi, E[m * S:(m + 1) * S], dims,
+                    preferred_element_type=jnp.float32,
+                )  # (WIN_H, S)
                 right = jax.lax.dot_general(
-                    E2m, roi, dims, preferred_element_type=jnp.float32
+                    roi, E2[m * S:(m + 1) * S], dims,
+                    preferred_element_type=jnp.float32,
                 )
-                fxm = fx[m * S:(m + 1) * S][:, None]
-                prof = left + fxm * (right - left)
+                fxm = fx[m * S:(m + 1) * S].reshape(1, S)
+                prof = left + fxm * (right - left)  # (WIN_H, S)
                 tex_ref[m, :] = jnp.sum(
-                    wy[m * S:(m + 1) * S] * prof, axis=1
+                    wyT[:, m * S:(m + 1) * S] * prof, axis=0
                 )
 
             tex = tex_ref[:, :] * smask  # (M, S)

@@ -36,6 +36,7 @@ __all__ = [
     "shard_state",
     "distributed_refine_step",
     "distributed_insert",
+    "viewsharded_insert",
 ]
 
 
@@ -149,3 +150,92 @@ def distributed_insert(
         grids, cells=new_flat[:-1].reshape(V, Hg, Wg)
     )
     return accepted, new_grids
+
+
+def pad_views(grids: OccupancyGrids, n: int) -> OccupancyGrids:
+    """Pad the view dimension to a multiple of n (padded views stay empty:
+    cols/rows = 0 makes every candidate cell out of bounds)."""
+    V = grids.cells.shape[0]
+    pad = (-V) % n
+    if not pad:
+        return grids
+    return dataclasses.replace(
+        grids,
+        cells=jnp.concatenate(
+            [grids.cells, jnp.full((pad,) + grids.cells.shape[1:], -1,
+                                   grids.cells.dtype)]
+        ),
+        cols=jnp.concatenate([grids.cols, jnp.zeros((pad,), grids.cols.dtype)]),
+        rows=jnp.concatenate([grids.rows, jnp.zeros((pad,), grids.rows.dtype)]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "min_grids"))
+def viewsharded_insert(
+    mesh,
+    grids: OccupancyGrids,
+    cell_ids: jax.Array,
+    candidate_alive: jax.Array,
+    global_ids: jax.Array,
+    min_grids: int = 2,
+):
+    """Cross-device insertion with VIEW-sharded occupancy grids.
+
+    The scalable merge protocol (SURVEY.md §5.8): each device owns a slice
+    of views' occupancy grids — a cell has exactly ONE owner, so the
+    scatter-min claim needs no merge at all. The only collective is the
+    >=`min_grids` acceptance vote: a (P,)-int32 psum of per-device win
+    counts, replacing the replicated-grid pmin of `distributed_insert`
+    (V*Hg*Wg int32 per round — ~0.4 GB/round at DTU scale; this is ~4 B per
+    candidate).
+
+    cell_ids: (P, V) from `candidate_cells` with VIEW-major flat ids
+      (view * Hg * Wg + row * Wg + col), -1 invalid. V must be a multiple of
+      the mesh size (see `pad_views`).
+    Returns (accepted (P,) bool replicated, new grids view-sharded).
+    """
+    V, Hg, Wg = grids.cells.shape
+    n_dev = mesh.devices.size
+    assert V % n_dev == 0, "pad_views() the grids to the mesh size first"
+    v_loc = V // n_dev
+    cells_per_view = Hg * Wg
+    n_local = v_loc * cells_per_view
+    prio = global_ids.astype(jnp.int32)
+
+    def local(cell_slice, alive, prio, grid_slice):
+        """cell_slice (P, v_loc); grid_slice (v_loc, Hg, Wg) — both local."""
+        # Rebase global view-major ids to this device's slice.
+        base = jax.lax.axis_index(PATCH_AXIS) * n_local
+        local_ids = cell_slice - base
+        flat = grid_slice.reshape(-1)
+        active = alive[:, None] & (cell_slice >= 0)
+        safe = jnp.where(active, local_ids, n_local)
+        occ = jnp.concatenate([flat >= 0, jnp.ones((1,), bool)])[safe]
+        active = active & ~occ
+        safe = jnp.where(active, local_ids, n_local)
+        big = jnp.iinfo(jnp.int32).max
+        claim = jnp.full((n_local + 1,), big, jnp.int32)
+        claim = claim.at[safe.reshape(-1)].min(
+            jnp.where(active, prio[:, None], big).reshape(-1)
+        )
+        won = active & (claim[safe] == prio[:, None])
+        # The ONLY collective: per-candidate win counts, summed over the
+        # view shards.
+        wins = jax.lax.psum(
+            jnp.sum(won, axis=1).astype(jnp.int32), PATCH_AXIS
+        )
+        accepted = wins >= min_grids
+        write = won & accepted[:, None]
+        wsafe = jnp.where(write, local_ids, n_local).reshape(-1)
+        vals = jnp.broadcast_to(prio[:, None], write.shape).reshape(-1)
+        new_flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.int32)])
+        new_flat = new_flat.at[wsafe].set(vals)
+        return accepted, new_flat[:-1].reshape(grid_slice.shape)
+
+    accepted, new_cells = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, PATCH_AXIS), P(), P(), P(PATCH_AXIS)),
+        out_specs=(P(), P(PATCH_AXIS)),
+    )(cell_ids, candidate_alive, prio, grids.cells)
+    return accepted, dataclasses.replace(grids, cells=new_cells)

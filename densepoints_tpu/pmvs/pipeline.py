@@ -116,12 +116,15 @@ def densify(
         return _densify_inner(scene, config)
 
 
-def _checkpoint(rt, state, stage):
+def _checkpoint(rt, state, stage, cameras=None):
     if rt.checkpoint_dir:
         from densepoints_tpu.utils.checkpoint import save_checkpoint
 
         save_checkpoint(
-            f"{rt.checkpoint_dir}/{stage}.npz", state, stage=stage
+            f"{rt.checkpoint_dir}/{stage}.npz",
+            state,
+            stage=stage,
+            cameras=cameras,
         )
 
 
@@ -142,8 +145,12 @@ def _densify_inner(
 
         ckpt = latest_checkpoint(rt.checkpoint_dir)
         if ckpt is not None:
-            resume_state, meta = load_checkpoint(ckpt)
+            resume_state, meta, ckpt_cams = load_checkpoint(ckpt)
             resume_stage = meta.get("stage")
+            if ckpt_cams is not None:
+                # BA refined the extrinsics before this checkpoint; resume
+                # with the geometry the patches were optimized against.
+                cameras = ckpt_cams
             log.info("resuming from %s (stage %s)", ckpt, resume_stage)
 
     if resume_state is not None:
@@ -184,7 +191,7 @@ def _densify_inner(
             state = optimize_patches(
                 images, cameras, state, config.seed.texture_size, config.optimize
             )
-    _checkpoint(rt, state, "seeds_optimized")
+    _checkpoint(rt, state, "seeds_optimized", cameras)
 
     return _densify_from(
         images, cameras, scene, config, metrics, state, "seeds_optimized"
@@ -196,9 +203,9 @@ def _densify_from(
 ) -> DensifyResult:
     """Run the pipeline from `stage` onward (also the resume entry point).
 
-    Stages: seeds_optimized -> expanded -> final. Resume note: checkpoints
-    carry only patch state, so a resumed run uses the scene's cameras as-is
-    (BA-refined extrinsics are not replayed; BA is off by default).
+    Stages: seeds_optimized -> expanded -> final. Checkpoints carry the
+    cameras alongside the patch state, so a resumed run reconstructs with
+    the (possibly BA-refined) extrinsics the patches were optimized against.
     """
     rt = config.runtime
     if rt.debug_dir and stage == "seeds_optimized":
@@ -213,7 +220,7 @@ def _densify_from(
 
                 state = densify_multiscale(images, cameras, state, config)
             metrics.count("patches_final", state.capacity)
-            _checkpoint(rt, state, "final")
+            _checkpoint(rt, state, "final", cameras)
             stage = "final"
         else:
             with metrics.stage("expand"):
@@ -230,7 +237,7 @@ def _densify_from(
                 from densepoints_tpu.utils import debug
 
                 debug.dump_occupancy(rt.debug_dir, grids)
-            _checkpoint(rt, state, "expanded")
+            _checkpoint(rt, state, "expanded", cameras)
             stage = "expanded"
 
     if stage == "expanded":
@@ -244,7 +251,7 @@ def _densify_from(
             )
             state = state.compact()
         metrics.count("patches_final", state.capacity)
-        _checkpoint(rt, state, "final")
+        _checkpoint(rt, state, "final", cameras)
 
     with metrics.stage("color"):
         if scene.colors is not None and state.capacity:

@@ -24,6 +24,7 @@ from densepoints_tpu.features.matching import (
     direct_epipolar_pair,
     filter_matches_epipolar,
     match_pair,
+    match_pair_absolute,
 )
 from densepoints_tpu.features.tracks import build_tracks, triangulate_tracks
 from densepoints_tpu.geometry.fundamental import fundamental_matrices_for_pairs
@@ -95,16 +96,24 @@ def generate_seed_points(
     i1 = jnp.asarray(pairs[:, 0])
     i2 = jnp.asarray(pairs[:, 1])
 
-    if config.matcher == "hamming_knn":
+    if config.matcher in ("hamming_knn", "hamming_absolute"):
         pattern = jnp.asarray(
             brief_pattern(config.descriptor_bits, config.descriptor_patch_radius)
         )
         desc = compute_descriptors(images, xy, pattern)
 
         def _one(F, a, b):
-            m, _ = match_pair(
-                desc[a], desc[b], valid[a], valid[b], config.lowe_ratio
-            )
+            if config.matcher == "hamming_knn":
+                m, _ = match_pair(
+                    desc[a], desc[b], valid[a], valid[b], config.lowe_ratio
+                )
+            else:
+                # The reference's FLANN/LSH path: nearest neighbor with an
+                # absolute Hamming cutoff (matcher.cpp:227-240).
+                m, _ = match_pair_absolute(
+                    desc[a], desc[b], valid[a], valid[b],
+                    config.max_hamming_distance,
+                )
             return filter_matches_epipolar(
                 F, xy[a], xy[b], m, config.max_epipolar_distance
             )

@@ -22,10 +22,26 @@ __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
 _FIELDS = ("position", "normal", "ref", "vis", "cand", "alive", "color")
 
 
-def save_checkpoint(path, state: PatchState, stage: str, extra: dict | None = None):
+def save_checkpoint(
+    path,
+    state: PatchState,
+    stage: str,
+    extra: dict | None = None,
+    cameras=None,
+):
+    """Snapshot patch state (+ optionally the cameras that produced it).
+
+    Cameras matter when bundle adjustment refined the extrinsics: a resumed
+    run must reconstruct with the SAME geometry the patches were optimized
+    against, not the scene file's original cameras.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
+    if cameras is not None:
+        arrays["__cam_P__"] = np.asarray(cameras.P, np.float64)
+        arrays["__cam_w__"] = np.asarray(cameras.width)
+        arrays["__cam_h__"] = np.asarray(cameras.height)
     meta = {"stage": stage, "capacity": state.capacity}
     if extra:
         meta.update(extra)
@@ -33,13 +49,22 @@ def save_checkpoint(path, state: PatchState, stage: str, extra: dict | None = No
 
 
 def load_checkpoint(path):
-    """Returns (PatchState, meta dict)."""
+    """Returns (PatchState, meta dict, Cameras-or-None)."""
+    from densepoints_tpu.core.cameras import Cameras
+
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(str(data["__meta__"]))
         state = PatchState(
             **{f: jnp.asarray(data[f]) for f in _FIELDS}
         )
-    return state, meta
+        cameras = None
+        if "__cam_P__" in data:
+            cameras = Cameras.from_projection_matrices(
+                data["__cam_P__"],
+                widths=data["__cam_w__"],
+                heights=data["__cam_h__"],
+            )
+    return state, meta, cameras
 
 
 def latest_checkpoint(directory):

@@ -43,8 +43,9 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     )
     path = tmp_path / "ckpt" / "stage_expand.npz"
     save_checkpoint(path, state, "expand", {"round": 3})
-    loaded, meta = load_checkpoint(path)
+    loaded, meta, cams = load_checkpoint(path)
     assert meta["stage"] == "expand" and meta["round"] == 3
+    assert cams is None  # no cameras were saved
     np.testing.assert_allclose(
         np.asarray(loaded.position), np.asarray(state.position)
     )
@@ -53,3 +54,31 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     )
     assert latest_checkpoint(tmp_path / "ckpt") == path
     assert latest_checkpoint(tmp_path / "nonexistent") is None
+
+
+def test_checkpoint_carries_cameras(tmp_path, rng):
+    """BA-refined extrinsics round-trip through the checkpoint (so resume
+    reconstructs with the geometry the patches were optimized against)."""
+    from densepoints_tpu.core.cameras import Cameras
+    from tests.synthetic import TexturedPlaneScene
+
+    scene = TexturedPlaneScene(rng, num_views=3, width=64, height=48)
+    cams = Cameras.from_projection_matrices(
+        scene.P, widths=scene.width, heights=scene.height
+    )
+    state = PatchState.create(
+        rng.standard_normal((4, 3)).astype(np.float32),
+        rng.standard_normal((4, 3)).astype(np.float32),
+        np.zeros(4, np.int32),
+        np.ones((4, 3), bool),
+    )
+    path = tmp_path / "final.npz"
+    save_checkpoint(path, state, "final", cameras=cams)
+    _, _, loaded_cams = load_checkpoint(path)
+    assert loaded_cams is not None
+    np.testing.assert_allclose(
+        np.asarray(loaded_cams.C), np.asarray(cams.C), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded_cams.K), np.asarray(cams.K), rtol=1e-5, atol=1e-4
+    )

@@ -69,3 +69,21 @@ def test_fused_invalid_patches_sentinel(rng):
         images, cams, pos, nrm, refs, vis, 11, interpret=True
     )
     assert np.all(np.asarray(fused_scores)[1] == -1.0)
+
+
+def test_streaming_path_matches_xla(rng, monkeypatch):
+    """Force the DMA (streaming) kernel: every test scene is far below
+    RESIDENT_LIMIT_BYTES, so without this the streaming variant would have
+    zero interpret-mode coverage (ADVICE r1)."""
+    from densepoints_tpu.ops import warp_ncc
+
+    monkeypatch.setattr(warp_ncc, "RESIDENT_LIMIT_BYTES", 0)
+    scene, cams, images = _setup(rng)
+    pos, nrm, refs, vis = _patches(cams, rng, 12)
+    ref_scores, _, _ = patch_ncc_scores(images, cams, pos, nrm, refs, vis, 11)
+    fused_scores, _, _ = patch_ncc_scores_fused(
+        images, cams, pos, nrm, refs, vis, 11, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_scores), np.asarray(ref_scores), atol=2e-3
+    )
