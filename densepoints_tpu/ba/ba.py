@@ -27,7 +27,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["BAProblem", "run_ba", "reprojection_rmse", "rodrigues"]
+__all__ = [
+    "BAProblem",
+    "run_ba",
+    "run_ba_sharded",
+    "reprojection_rmse",
+    "rodrigues",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -111,15 +117,23 @@ def _huber_weights(r: jax.Array, delta: float) -> jax.Array:
     return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(norm, 1e-12)))
 
 
-def _schur_matvec(x, U, W, Vinv, obs_view, obs_point, num_views):
-    """Apply S = U - W V^-1 W^T to stacked camera deltas x (V,6)."""
+def _schur_matvec(x, U, W, Vinv, obs_view, obs_point, num_views, reduce):
+    """Apply S = U - W V^-1 W^T to stacked camera deltas x (V,6).
+
+    `reduce` is identity on one device; under `run_ba_sharded` it is a psum
+    over the observation shards (the camera/point blocks stay replicated,
+    SURVEY.md §2.7(d)) — two small collectives per CG product ((N,3) and
+    (V,6)), both riding ICI.
+    """
     y1 = jnp.einsum("vij,vj->vi", U, x)
     xw = x[obs_view]  # (M, 6)
     t = jnp.einsum("mij,mi->mj", W, xw)  # (M, 3) = W^T x per obs
-    t_p = jax.ops.segment_sum(t, obs_point, num_segments=Vinv.shape[0])
+    t_p = reduce(
+        jax.ops.segment_sum(t, obs_point, num_segments=Vinv.shape[0])
+    )
     u_p = jnp.einsum("pij,pj->pi", Vinv, t_p)
     z = jnp.einsum("mij,mj->mi", W, u_p[obs_point])  # (M, 6)
-    y2 = jax.ops.segment_sum(z, obs_view, num_segments=num_views)
+    y2 = reduce(jax.ops.segment_sum(z, obs_view, num_segments=num_views))
     return y1 - y2
 
 
@@ -143,28 +157,32 @@ def _cg(matvec, b, iterations: int):
     return x
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("max_outer_iterations", "cg_iterations"),
-)
-def run_ba(
+def _ba_core(
     problem: BAProblem,
-    max_outer_iterations: int = 10,
-    cg_iterations: int = 50,
-    damping: float = 1e-4,
-    robust_delta: float = 2.0,
+    max_outer_iterations: int,
+    cg_iterations: int,
+    damping: float,
+    robust_delta: float,
+    reduce=lambda x: x,
 ):
     """LM with Schur-complement CG. Returns (R (V,3,3), C (V,3),
-    points (N,3), final mean reprojection cost)."""
+    points (N,3), final mean reprojection cost).
+
+    `reduce` sums observation-shard partials (identity on one device; psum
+    under `run_ba_sharded`). Everything derived per-camera or per-point is
+    replicated after the reduction, so the LM/CG control flow is identical
+    on every device."""
     V = problem.K.shape[0]
     N = problem.points0.shape[0]
     mask = problem.obs_mask.astype(problem.obs_xy.dtype)
-    n_obs = jnp.maximum(jnp.sum(mask), 1.0)
+    n_obs = jnp.maximum(reduce(jnp.sum(mask)), 1.0)
 
     def cost(cam_params, points):
         r, _, _ = _residuals_and_jacobians(problem, cam_params, points)
         w = _huber_weights(r, robust_delta)
-        return jnp.sum(jnp.sum((w[:, None] * r) ** 2, -1) * mask) / n_obs
+        return reduce(
+            jnp.sum(jnp.sum((w[:, None] * r) ** 2, -1) * mask)
+        ) / n_obs
 
     def step(state, _):
         cam_params, points, lam = state
@@ -174,19 +192,19 @@ def run_ba(
         Jc = Jc * w[:, :, None]
         Jp = Jp * w[:, :, None]
 
-        U = jax.ops.segment_sum(
+        U = reduce(jax.ops.segment_sum(
             jnp.einsum("mri,mrj->mij", Jc, Jc), problem.obs_view, num_segments=V
-        )
-        Vp = jax.ops.segment_sum(
+        ))
+        Vp = reduce(jax.ops.segment_sum(
             jnp.einsum("mri,mrj->mij", Jp, Jp), problem.obs_point, num_segments=N
-        )
+        ))
         W = jnp.einsum("mri,mrj->mij", Jc, Jp)  # (M, 6, 3)
-        g_c = -jax.ops.segment_sum(
+        g_c = -reduce(jax.ops.segment_sum(
             jnp.einsum("mri,mr->mi", Jc, r), problem.obs_view, num_segments=V
-        )
-        g_p = -jax.ops.segment_sum(
+        ))
+        g_p = -reduce(jax.ops.segment_sum(
             jnp.einsum("mri,mr->mi", Jp, r), problem.obs_point, num_segments=N
-        )
+        ))
 
         eye6 = jnp.eye(6, dtype=U.dtype)
         eye3 = jnp.eye(3, dtype=U.dtype)
@@ -196,24 +214,25 @@ def run_ba(
 
         # Reduced RHS: b = g_c - W V^-1 g_p (gathered per observation).
         u_p = jnp.einsum("pij,pj->pi", Vinv, g_p)
-        b_from_points = jax.ops.segment_sum(
+        b_from_points = reduce(jax.ops.segment_sum(
             jnp.einsum("mij,mj->mi", W, u_p[problem.obs_point]),
             problem.obs_view,
             num_segments=V,
-        )
+        ))
         b = (g_c - b_from_points).reshape(-1)
 
         mv = lambda x: _schur_matvec(
-            x.reshape(V, 6), U, W, Vinv, problem.obs_view, problem.obs_point, V
+            x.reshape(V, 6), U, W, Vinv, problem.obs_view,
+            problem.obs_point, V, reduce,
         ).reshape(-1)
         dx_c = _cg(mv, b, cg_iterations).reshape(V, 6)
 
         # Back-substitute points: dX = V^-1 (g_p - W^T dx_c).
-        t = jax.ops.segment_sum(
+        t = reduce(jax.ops.segment_sum(
             jnp.einsum("mij,mi->mj", W, dx_c[problem.obs_view]),
             problem.obs_point,
             num_segments=N,
-        )
+        ))
         dx_p = jnp.einsum("pij,pj->pi", Vinv, g_p - t)
 
         new_cam = cam_params + dx_c
@@ -236,6 +255,92 @@ def run_ba(
     R = problem.R0 @ rodrigues(cam_params[:, :3])
     C = problem.C0 + cam_params[:, 3:]
     return R, C, points, cost(cam_params, points)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_outer_iterations", "cg_iterations"),
+)
+def run_ba(
+    problem: BAProblem,
+    max_outer_iterations: int = 10,
+    cg_iterations: int = 50,
+    damping: float = 1e-4,
+    robust_delta: float = 2.0,
+):
+    """Single-device LM + Schur CG (see `_ba_core`)."""
+    return _ba_core(
+        problem, max_outer_iterations, cg_iterations, damping, robust_delta
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "max_outer_iterations", "cg_iterations"),
+)
+def run_ba_sharded(
+    problem: BAProblem,
+    mesh,
+    max_outer_iterations: int = 10,
+    cg_iterations: int = 50,
+    damping: float = 1e-4,
+    robust_delta: float = 2.0,
+):
+    """Distributed BA: observations sharded over the mesh, camera and point
+    blocks replicated, one psum per segment reduction (SURVEY.md §2.7(d)).
+
+    Observation count is padded to a mesh multiple with masked-out slots
+    (zero Huber weight -> zero contribution), so the result is IDENTICAL to
+    `run_ba` up to float reduction order.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from densepoints_tpu.parallel.mesh import PATCH_AXIS
+
+    n_dev = mesh.devices.size
+    M = problem.obs_xy.shape[0]
+    pad = (-M) % n_dev
+    if pad:
+        problem = dataclasses.replace(
+            problem,
+            obs_point=jnp.concatenate(
+                [problem.obs_point, jnp.zeros((pad,), jnp.int32)]
+            ),
+            obs_view=jnp.concatenate(
+                [problem.obs_view, jnp.zeros((pad,), jnp.int32)]
+            ),
+            obs_xy=jnp.concatenate(
+                [problem.obs_xy, jnp.zeros((pad, 2), problem.obs_xy.dtype)]
+            ),
+            obs_mask=jnp.concatenate(
+                [problem.obs_mask, jnp.zeros((pad,), bool)]
+            ),
+        )
+
+    def local(K, R0, C0, points0, obs_point, obs_view, obs_xy, obs_mask):
+        lp = BAProblem(
+            K=K, R0=R0, C0=C0, points0=points0,
+            obs_point=obs_point, obs_view=obs_view,
+            obs_xy=obs_xy, obs_mask=obs_mask,
+        )
+        return _ba_core(
+            lp, max_outer_iterations, cg_iterations, damping, robust_delta,
+            reduce=functools.partial(jax.lax.psum, axis_name=PATCH_AXIS),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),
+            P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS), P(PATCH_AXIS),
+        ),
+        out_specs=(P(), P(), P(), P()),
+    )(
+        problem.K, problem.R0, problem.C0, problem.points0,
+        problem.obs_point, problem.obs_view, problem.obs_xy,
+        problem.obs_mask,
+    )
 
 
 def reprojection_rmse(problem: BAProblem, R, C, points) -> jax.Array:

@@ -45,6 +45,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--profile-dir", help="write a jax.profiler trace of the run here"
     )
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="run over all devices (single- or multi-host); with "
+        "--coordinator/--num-processes/--process-id, joins a "
+        "jax.distributed job first",
+    )
+    p.add_argument("--coordinator", help="multi-host coordinator host:port")
+    p.add_argument(
+        "--num-processes", type=int, help="multi-host process count"
+    )
+    p.add_argument("--process-id", type=int, help="this process's id")
     return p
 
 
@@ -68,14 +80,34 @@ def main(argv=None) -> int:
             runtime=dataclasses.replace(config.runtime, **runtime_overrides)
         )
 
+    if args.coordinator or args.num_processes:
+        # MUST happen before any jax call that initializes the backend
+        # (load_scene builds device camera arrays).
+        from densepoints_tpu.parallel.multihost import initialize_multihost
+
+        initialize_multihost(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     from densepoints_tpu.io.scene import load_scene
-    from densepoints_tpu.pmvs.pipeline import densify
 
     scene = load_scene(args.input)
     log.info("scene: %d views", scene.cameras.num_views)
-    result = densify(scene, config)
-    result.save_ply(args.output, binary=not args.ascii)
-    log.info("wrote %d points to %s", len(result.positions), args.output)
+    if args.distributed or args.coordinator:
+        from densepoints_tpu.parallel.multihost import densify_multihost
+
+        result = densify_multihost(scene, config)
+    else:
+        from densepoints_tpu.pmvs.pipeline import densify
+
+        result = densify(scene, config)
+    import jax
+
+    if jax.process_index() == 0:
+        result.save_ply(args.output, binary=not args.ascii)
+        log.info("wrote %d points to %s", len(result.positions), args.output)
 
     if args.mesh:
         from densepoints_tpu.surface.tsdf import extract_surface

@@ -36,12 +36,15 @@ class MatchingConfig:
     """Seed matching front-end (reference MatcherOptions, matcher.h:14-33)."""
 
     detector: str = "harris"  # harris | fast  (reference: ORB | AKAZE)
-    matcher: str = "hamming_knn"  # hamming_knn | hamming_absolute | epipolar
+    matcher: str = "hamming_knn"  # hamming_knn | hamming_absolute |
+    #     epipolar (best partner per keypoint) | epipolar_all
+    #     (reference all-pairs semantics, matcher.cpp:267-317)
     max_keypoints_per_view: int = 4096
     keypoint_cell_size: int = 16  # grid filter cell (matcher.h cell_size)
     max_keypoints_per_cell: int = 4
     lowe_ratio: float = 0.7  # kNN ratio test (matcher.cpp:218)
     max_hamming_distance: float = 30.0  # FLANN-path cutoff (matcher.cpp:234)
+    epipolar_topk: int = 4  # partner cap per keypoint (epipolar_all)
     max_epipolar_distance: float = 1.5  # px (matcher.h:24)
     harris_k: float = 0.04
     fast_threshold: float = 10.0  # FAST-9/16 segment-test margin

@@ -52,8 +52,10 @@ def gaussian_blur(img: jax.Array, sigma: float, radius: int | None = None):
     return _conv1d(_conv1d(img, k, -1), k, -2)
 
 
-_SOBEL = jnp.asarray([-1.0, 0.0, 1.0])
-_SMOOTH = jnp.asarray([1.0, 2.0, 1.0]) / 4.0
+# Plain tuples (NOT device arrays): creating arrays at import time would
+# initialize the XLA backend and break jax.distributed.initialize ordering.
+_SOBEL = (-1.0, 0.0, 1.0)
+_SMOOTH = (0.25, 0.5, 0.25)
 
 
 @functools.partial(jax.jit, static_argnames=("window_sigma",))
@@ -65,8 +67,8 @@ def harris_response(
     images: (..., H, W) float; returns same shape.
     """
     img = images.astype(jnp.float32)
-    gx = _conv1d(_conv1d(img, _SOBEL.astype(img.dtype), -1), _SMOOTH.astype(img.dtype), -2)
-    gy = _conv1d(_conv1d(img, _SOBEL.astype(img.dtype), -2), _SMOOTH.astype(img.dtype), -1)
+    gx = _conv1d(_conv1d(img, jnp.asarray(_SOBEL, img.dtype), -1), jnp.asarray(_SMOOTH, img.dtype), -2)
+    gy = _conv1d(_conv1d(img, jnp.asarray(_SOBEL, img.dtype), -2), jnp.asarray(_SMOOTH, img.dtype), -1)
     ixx = gaussian_blur(gx * gx, window_sigma)
     iyy = gaussian_blur(gy * gy, window_sigma)
     ixy = gaussian_blur(gx * gy, window_sigma)

@@ -29,6 +29,7 @@ __all__ = [
     "match_pair",
     "match_pair_absolute",
     "direct_epipolar_pair",
+    "direct_epipolar_pair_topk",
 ]
 
 
@@ -138,3 +139,32 @@ def direct_epipolar_pair(
     dbest = jnp.take_along_axis(dist, best[:, None], axis=1)[:, 0]
     ok = valid1 & (dbest <= max_distance)
     return jnp.where(ok, best, -1).astype(jnp.int32), dbest
+
+
+def direct_epipolar_pair_topk(
+    F: jax.Array,
+    xy1: jax.Array,
+    xy2: jax.Array,
+    valid1: jax.Array,
+    valid2: jax.Array,
+    max_distance: float = 1.5,
+    k: int = 4,
+):
+    """All-pairs direct epipolar matching, fixed-shape (matcher.cpp:267-317).
+
+    The reference accepts EVERY keypoint pair within `max_distance` of the
+    epipolar line; a TPU-shaped equivalent keeps the k closest qualifying
+    partners per left keypoint (k bounds the output shape; partners beyond
+    k are the (k+1)-th-closest to the line and essentially duplicate seeds
+    of the same surface point). Returns (match_idx (N, k) int32 or -1,
+    distance (N, k) f32).
+    """
+    dist = point_line_distance(
+        epipolar_lines(F, xy1)[:, None, :], xy2[None, :, :]
+    )  # (N, M)
+    big = jnp.asarray(1e9, dist.dtype)
+    dist = jnp.where(valid2[None, :], dist, big)
+    neg_top, idx = jax.lax.top_k(-dist, k)  # (N, k) closest partners
+    d = -neg_top
+    ok = valid1[:, None] & (d <= max_distance)
+    return jnp.where(ok, idx, -1).astype(jnp.int32), d

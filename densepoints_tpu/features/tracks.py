@@ -16,7 +16,7 @@ import numpy as np
 
 from densepoints_tpu.geometry.triangulation import triangulate
 
-__all__ = ["build_tracks", "triangulate_tracks"]
+__all__ = ["build_tracks", "build_tracks_onehop", "triangulate_tracks"]
 
 
 class _UnionFind:
@@ -134,3 +134,61 @@ def triangulate_tracks(P_all, obs, mask):
             jnp.asarray(mask),
         )
     )
+
+
+def build_tracks_onehop(
+    num_views: int,
+    keypoints: np.ndarray,
+    pair_list: np.ndarray,
+    matches_topk: np.ndarray,
+    min_views: int = 2,
+):
+    """One-hop track assembly (reference semantics, matcher.cpp:374-413).
+
+    The reference's `GetAllMatches` collects, for each keypoint, its direct
+    partners across every pair — NO transitive merging (unlike the
+    union-find path, which dedups multi-view tracks). With all-pairs
+    epipolar matching this yields one (possibly noisy) track per matched
+    keypoint, the behavior `DirectEpipolarMatching` feeds.
+
+    matches_topk: (P, N, K) int32 — partner keypoint indices in
+    pair_list[p][1] for each keypoint of pair_list[p][0], -1 empty.
+    Returns (obs (T, V, 2) float32, mask (T, V) bool, kp_index (T, V) int32).
+    """
+    keypoints = np.asarray(keypoints)
+    matches_topk = np.asarray(matches_topk)
+    V, N = num_views, keypoints.shape[1]
+    obs_list, mask_list, idx_list = [], [], []
+    # Partners of keypoint (a, i): every (b, j) with j in matches_topk for
+    # a pair (a, b). One track per LEFT keypoint that matched anywhere.
+    partners: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for p, (a, b) in enumerate(pair_list):
+        m = matches_topk[p]  # (N, K)
+        js, ks = np.nonzero(m >= 0)
+        for i, kk in zip(js, ks):
+            partners.setdefault((int(a), int(i)), []).append(
+                (int(b), int(m[i, kk]))
+            )
+    for (a, i), plist in partners.items():
+        obs = np.zeros((V, 2), np.float32)
+        mask = np.zeros((V,), bool)
+        kp_idx = np.full((V,), -1, np.int32)
+        obs[a] = keypoints[a, i]
+        mask[a] = True
+        kp_idx[a] = i
+        for b, j in plist:
+            if not mask[b]:  # first partner in a view wins
+                obs[b] = keypoints[b, j]
+                mask[b] = True
+                kp_idx[b] = j
+        if mask.sum() >= min_views:
+            obs_list.append(obs)
+            mask_list.append(mask)
+            idx_list.append(kp_idx)
+    if not obs_list:
+        return (
+            np.zeros((0, V, 2), np.float32),
+            np.zeros((0, V), bool),
+            np.zeros((0, V), np.int32),
+        )
+    return np.stack(obs_list), np.stack(mask_list), np.stack(idx_list)

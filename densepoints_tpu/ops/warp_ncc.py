@@ -67,9 +67,16 @@ TILE_B = 8  # patches per grid step
 # weights/profiles); DENSEPOINTS_RESIDENT_LIMIT overrides it.
 
 
-def _default_resident_limit() -> int:
+RESIDENT_LIMIT_BYTES: int | None = None  # None = derive lazily per device
+
+
+def _resident_limit() -> int:
+    """Resolve the resident threshold (lazy: touching jax.devices() at
+    import time would break jax.distributed.initialize ordering)."""
     import os
 
+    if RESIDENT_LIMIT_BYTES is not None:
+        return RESIDENT_LIMIT_BYTES
     env = os.environ.get("DENSEPOINTS_RESIDENT_LIMIT")
     if env is not None:
         return int(env)
@@ -79,14 +86,13 @@ def _default_resident_limit() -> int:
         return 8 * 1024 * 1024
     # 128 MiB VMEM parts (v4/v5e/v5p/v6e) can pin 64 MiB of images and
     # still leave half for weights/profiles; older/unknown parts with
-    # 16-32 MiB VMEM get a conservative 8 MiB and stream the rest.
-    big_vmem = ("v4", "v5", "v6", "lite")
+    # 16-32 MiB VMEM get a conservative 8 MiB and stream the rest. The
+    # CPU interpret path keeps the TPU default so tests cover the
+    # resident kernel.
+    big_vmem = ("v4", "v5", "v6", "lite", "cpu")
     if any(t in kind for t in big_vmem):
         return 64 * 1024 * 1024
     return 8 * 1024 * 1024
-
-
-RESIDENT_LIMIT_BYTES = _default_resident_limit()
 
 
 def _kernel_factory(M: int, S: int, n_real: int):
@@ -263,7 +269,7 @@ def _kernel_factory_resident(M: int, S: int, n_real: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_real", "interpret")
+    jax.jit, static_argnames=("n_real", "interpret", "resident")
 )
 def warp_ncc_scores(
     images: jax.Array,
@@ -273,6 +279,7 @@ def warp_ncc_scores(
     coords: jax.Array,
     n_real: int,
     interpret: bool = False,
+    resident: bool | None = None,
 ) -> jax.Array:
     """Fused sampling + NCC for all patches.
 
@@ -298,7 +305,12 @@ def warp_ncc_scores(
     xs = coords[:, :, 0, :].reshape(Bp, M * S)
     ys = coords[:, :, 1, :].reshape(Bp, M * S)
 
-    if images.size * 2 <= RESIDENT_LIMIT_BYTES:  # bf16-resident bytes
+    # The path choice is a STATIC jit arg (part of the cache key): deciding
+    # from module state inside the trace would let a cached trace of the
+    # other path be silently reused for identical shapes.
+    if resident is None:
+        resident = images.size * 2 <= _resident_limit()  # bf16-resident bytes
+    if resident:
         return _warp_ncc_resident(
             images, y0, x0, view_ids, xs, ys, Bp, B, M, S, n_real, interpret
         )
@@ -390,6 +402,8 @@ def patch_ncc_scores_fused(
     texture_size: int,
     max_score_views: int = 16,
     interpret: bool = False,
+    view_ids: jax.Array | None = None,
+    ok: jax.Array | None = None,
 ):
     """Drop-in fused equivalent of pmvs.optimize.patch_ncc_scores.
 
@@ -397,13 +411,15 @@ def patch_ncc_scores_fused(
     `patch_textures_indexed` (tangent-frame texel grid, 4-corner validity),
     then runs sampling + NCC entirely in the Pallas kernel. Returns
     (scores (B, M), view_ids (B, M), ok (B, M)) with -1 where the pair is
-    invalid, exactly like the XLA path.
+    invalid, exactly like the XLA path. Explicit `view_ids`/`ok` override
+    the default compaction (used by the chunked all-views filter).
     """
     from densepoints_tpu.ops.warp import compact_visible, patch_frames
 
     k = texture_size
     V, H, W = images.shape
-    view_ids, ok = compact_visible(vis, max_score_views)
+    if view_ids is None:
+        view_ids, ok = compact_visible(vis, max_score_views)
     B, M = view_ids.shape
     sx, sy = patch_frames(cameras, position, normal, ref, k)
 
@@ -479,7 +495,8 @@ def patch_ncc_scores_fused(
 
     safe_view = jnp.where(ok, view_ids, 0) + phase * V
     scores = warp_ncc_scores(
-        images2, y0, x0, safe_view, coords, k * k, interpret=interpret
+        images2, y0, x0, safe_view, coords, k * k, interpret=interpret,
+        resident=bool(images2.size * 2 <= _resident_limit()),
     )
     pair_valid = valid & valid[:, :1]
     scores = jnp.where(pair_valid, scores, -1.0)

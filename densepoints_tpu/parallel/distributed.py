@@ -34,8 +34,10 @@ from densepoints_tpu.pmvs.visibility import classify_views
 
 __all__ = [
     "shard_state",
+    "refine_step_impl",
     "distributed_refine_step",
     "distributed_insert",
+    "pad_views",
     "viewsharded_insert",
 ]
 
@@ -58,10 +60,7 @@ def shard_state(state: PatchState, mesh) -> PatchState:
     return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("texture_size", "optimize_config")
-)
-def distributed_refine_step(
+def refine_step_impl(
     images: jax.Array,
     cameras: Cameras,
     state: PatchState,
@@ -71,7 +70,9 @@ def distributed_refine_step(
     """One sharded refine step: optimize -> reclassify -> NCC filter.
 
     Pure patch-parallel: with state sharded over the mesh, XLA partitions
-    the whole computation with no collectives.
+    the whole computation with no collectives. Unjitted so callers can
+    choose output shardings (the multi-host driver replicates outputs so
+    host orchestration sees fully-addressable arrays).
     """
     state = optimize_patches(
         images, cameras, state, texture_size, optimize_config
@@ -90,6 +91,11 @@ def distributed_refine_step(
     )
 
 
+distributed_refine_step = functools.partial(
+    jax.jit, static_argnames=("texture_size", "optimize_config")
+)(refine_step_impl)
+
+
 def distributed_insert(
     mesh,
     grids: OccupancyGrids,
@@ -103,6 +109,9 @@ def distributed_insert(
     state is sharded over PATCH_AXIS; grids/cameras replicated. Returns
     (accepted (P,) sharded bool, merged new grids replicated).
     """
+    assert grids.slots_per_cell == 1, (
+        "distributed insertion supports max_patches_per_cell=1"
+    )
     V, Hg, Wg = grids.cells.shape
     n_cells = V * Hg * Wg
     scale = organizer_config.grid_scale
@@ -194,6 +203,10 @@ def viewsharded_insert(
       the mesh size (see `pad_views`).
     Returns (accepted (P,) bool replicated, new grids view-sharded).
     """
+    assert grids.slots_per_cell == 1, (
+        "view-sharded insertion supports max_patches_per_cell=1; use the "
+        "single-device organizer for multi-slot cells"
+    )
     V, Hg, Wg = grids.cells.shape
     n_dev = mesh.devices.size
     assert V % n_dev == 0, "pad_views() the grids to the mesh size first"

@@ -108,7 +108,11 @@ def expand_patches(
 
     Returns (final PatchState with only accepted patches, grids).
     """
-    grids = make_grids(cameras, organizer_config.grid_scale)
+    grids = make_grids(
+        cameras,
+        organizer_config.grid_scale,
+        organizer_config.max_patches_per_cell,
+    )
 
     # Insert seeds (PatchOrganizer::SetSeeds).
     seeds = seeds.compact()

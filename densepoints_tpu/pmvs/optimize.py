@@ -99,11 +99,15 @@ def patch_ncc_scores(
     texture_size: int,
     max_score_views: int = 16,
     impl: str = "auto",
+    view_ids: jax.Array | None = None,
+    ok: jax.Array | None = None,
 ):
     """Per-view NCC against the anchor (first visible) view's texture.
 
     Views are compacted to M = min(V, max_score_views) slots per patch
-    (work scales with visibility, not scene size). Returns
+    (work scales with visibility, not scene size); pass explicit
+    `view_ids`/`ok` slot arrays to score a chosen view subset instead
+    (slot 0 must be the anchor). Returns
     (scores (B, M), view_ids (B, M), ok (B, M)); scores[b, 0] is the anchor
     against itself; slots whose warp is invalid (any corner outside, the
     reference's empty-texture case) or whose anchor is invalid score -1.
@@ -118,13 +122,14 @@ def patch_ncc_scores(
 
         def _fused(im, cam, p, n, r, v):
             return patch_ncc_scores_fused(
-                im, cam, p, n, r, v, texture_size, max_score_views
+                im, cam, p, n, r, v, texture_size, max_score_views,
+                view_ids=view_ids, ok=ok,
             )
 
         def _xla(im, cam, p, n, r, v):
             return patch_ncc_scores(
                 im, cam, p, n, r, v, texture_size, max_score_views,
-                impl="xla",
+                impl="xla", view_ids=view_ids, ok=ok,
             )
 
         return jax.lax.platform_dependent(
@@ -136,11 +141,12 @@ def patch_ncc_scores(
 
         return patch_ncc_scores_fused(
             images, cameras, position, normal, ref, vis, texture_size,
-            max_score_views,
+            max_score_views, view_ids=view_ids, ok=ok,
         )
     if impl != "xla":
         raise ValueError(f"unknown sampling impl {impl!r}")
-    view_ids, ok = compact_visible(vis, max_score_views)
+    if view_ids is None:
+        view_ids, ok = compact_visible(vis, max_score_views)
     tex, valid = patch_textures_indexed(
         images, cameras, position, normal, ref, view_ids, ok, texture_size
     )
@@ -193,6 +199,37 @@ def photometric_objective(
     return f
 
 
+def _anchor_chunks(vis: jax.Array, max_views: int):
+    """Split each patch's visible set into anchor-pinned slot chunks.
+
+    Every chunk is (view_ids (B, M), ok (B, M)) with slot 0 = the patch's
+    FIRST visible view (the anchor texture) and up to M-1 payload views in
+    ascending view order. Together the chunks cover ALL visible views, so
+    DTU-scale scenes (V ~ 50 > max_views) score every view instead of
+    silently truncating at the compaction width.
+    """
+    B, V = vis.shape
+    M = min(V, max_views)
+    order = jnp.argsort(~vis, axis=1, stable=True)  # visible first
+    okf = jnp.take_along_axis(vis, order, axis=1)
+    payload = max(M - 1, 1)
+    n_chunks = max(1, -(-(V - 1) // payload))
+    chunks = []
+    for c in range(n_chunks):
+        lo = 1 + c * payload
+        hi = min(lo + payload, V)
+        ids = jnp.concatenate([order[:, :1], order[:, lo:hi]], axis=1)
+        ok = jnp.concatenate([okf[:, :1], okf[:, lo:hi]], axis=1)
+        if hi - lo < payload:  # pad the tail chunk to a stable width
+            pad = payload - (hi - lo)
+            ids = jnp.concatenate(
+                [ids, jnp.broadcast_to(order[:, :1], (B, pad))], axis=1
+            )
+            ok = jnp.concatenate([ok, jnp.zeros((B, pad), bool)], axis=1)
+        chunks.append((ids.astype(jnp.int32), ok))
+    return chunks
+
+
 @functools.partial(jax.jit, static_argnames=("texture_size", "config"))
 def filter_by_error(
     images: jax.Array,
@@ -201,33 +238,43 @@ def filter_by_error(
     texture_size: int,
     config: OptimizeConfig = OptimizeConfig(),
 ) -> PatchState:
-    """NCC visibility pruning + patch rejection (optimization.cpp:98-132)."""
-    scores, view_ids, ok = patch_ncc_scores(
-        images,
-        cameras,
-        state.position,
-        state.normal,
-        state.ref,
-        state.vis,
-        texture_size,
-        config.max_score_views,
-        impl=config.sampling_impl,
-    )
+    """NCC visibility pruning + patch rejection (optimization.cpp:98-132).
+
+    The reference scores EVERY visible view (optimization.cpp:98-132); here
+    views are processed in anchor-pinned chunks of `max_score_views` slots,
+    so no view is dropped for "not fitting" regardless of V.
+    """
     B, V = state.vis.shape
-    # Keep the anchor slot plus scored slots over the threshold; views that
-    # did not fit in the M compaction slots are dropped (they were never
-    # scorable this round).
-    keep_slot = ok & (
-        (jnp.arange(ok.shape[1])[None, :] == 0)
-        | (scores >= config.score_threshold)
-    )
-    flat_idx = (
-        jnp.arange(B, dtype=jnp.int32)[:, None] * V + view_ids
-    ).reshape(-1)
-    new_vis = (
-        jnp.zeros((B * V,), bool).at[flat_idx].max(keep_slot.reshape(-1))
-    ).reshape(B, V)
-    n_scorable = jnp.sum(ok.at[:, 0].set(False), axis=1)
+    new_vis = jnp.zeros((B, V), bool)
+    n_scorable = jnp.zeros((B,), jnp.int32)
+    for chunk_ids, chunk_ok in _anchor_chunks(
+        state.vis, config.max_score_views
+    ):
+        scores, view_ids, ok = patch_ncc_scores(
+            images,
+            cameras,
+            state.position,
+            state.normal,
+            state.ref,
+            state.vis,
+            texture_size,
+            config.max_score_views,
+            impl=config.sampling_impl,
+            view_ids=chunk_ids,
+            ok=chunk_ok,
+        )
+        # Keep the anchor slot plus scored slots over the threshold.
+        keep_slot = ok & (
+            (jnp.arange(ok.shape[1])[None, :] == 0)
+            | (scores >= config.score_threshold)
+        )
+        flat_idx = (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * V + view_ids
+        ).reshape(-1)
+        new_vis = new_vis | (
+            jnp.zeros((B * V,), bool).at[flat_idx].max(keep_slot.reshape(-1))
+        ).reshape(B, V)
+        n_scorable = n_scorable + jnp.sum(ok.at[:, 0].set(False), axis=1)
     n_after = jnp.sum(new_vis, axis=1)
     alive = (
         state.alive

@@ -32,7 +32,9 @@ __all__ = ["OccupancyGrids", "make_grids", "candidate_cells", "bulk_try_insert"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class OccupancyGrids:
-    """cells: (V, Hg, Wg) int32 global patch ids, -1 empty.
+    """cells: (V, Hg, Wg) int32 global patch ids, -1 empty — or
+    (V, Hg, Wg, K) when `max_patches_per_cell` K > 1 (slots fill in
+    ascending order, patch_organizer.h:40-47 semantics).
 
     cols/rows: (V,) int32 per-view valid grid extents (floor(W/scale),
     floor(H/scale) — the reference's integer division,
@@ -47,13 +49,22 @@ class OccupancyGrids:
     def num_views(self) -> int:
         return self.cells.shape[0]
 
+    @property
+    def slots_per_cell(self) -> int:
+        return 1 if self.cells.ndim == 3 else self.cells.shape[3]
 
-def make_grids(cameras: Cameras, grid_scale: int) -> OccupancyGrids:
+
+def make_grids(
+    cameras: Cameras, grid_scale: int, max_patches_per_cell: int = 1
+) -> OccupancyGrids:
     cols = cameras.width // grid_scale
     rows = cameras.height // grid_scale
     Hg = int(jnp.max(rows))
     Wg = int(jnp.max(cols))
-    cells = jnp.full((cameras.num_views, Hg, Wg), -1, jnp.int32)
+    shape = (cameras.num_views, Hg, Wg)
+    if max_patches_per_cell > 1:
+        shape = shape + (max_patches_per_cell,)
+    cells = jnp.full(shape, -1, jnp.int32)
     return OccupancyGrids(cells=cells, cols=cols, rows=rows)
 
 
@@ -69,7 +80,7 @@ def candidate_cells(
     A slot is valid where the view is in the patch's visible mask and the
     projected cell lies inside that view's grid bounds.
     """
-    V, Hg, Wg = grids.cells.shape
+    V, Hg, Wg = grids.cells.shape[:3]
     pix = cameras.project(position)  # (V, B, 2)
     col = jnp.floor(pix[..., 0] / grid_scale).astype(jnp.int32).T  # (B, V)
     row = jnp.floor(pix[..., 1] / grid_scale).astype(jnp.int32).T
@@ -99,36 +110,80 @@ def bulk_try_insert(
     candidate_alive: (B,) candidates eligible for insertion.
     global_ids: (B,) the patch ids accepted candidates will occupy cells as.
     Returns (accepted (B,) bool, new_grids).
+
+    With K = `grids.slots_per_cell` > 1 (OrganizerConfig
+    max_patches_per_cell, patch_organizer.h:44), each cell admits up to K
+    patches: the claim runs K rounds, each awarding one slot per cell to
+    the lowest remaining priority.
     """
-    V, Hg, Wg = grids.cells.shape
-    flat = grids.cells.reshape(-1)
+    V, Hg, Wg = grids.cells.shape[:3]
+    K = grids.slots_per_cell
     B = cell_ids.shape[0]
-    n_cells = flat.shape[0]
+    n_cells = V * Hg * Wg
+    slots = grids.cells.reshape(n_cells, K) if K > 1 else (
+        grids.cells.reshape(n_cells, 1)
+    )
+    fill = jnp.sum(slots >= 0, axis=1)  # (n_cells,) used slots
 
     active = candidate_alive[:, None] & (cell_ids >= 0)
     safe_cells = jnp.where(active, cell_ids, n_cells)  # dump slot
-    occupied = jnp.concatenate([flat >= 0, jnp.ones((1,), bool)])[safe_cells]
-    active = active & ~occupied
-    safe_cells = jnp.where(active, cell_ids, n_cells)
-
-    # Phase 1: scatter-min candidate priority (its batch index).
     prio = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, V))
-    claim = jnp.full((n_cells + 1,), B, jnp.int32)
-    claim = claim.at[safe_cells.reshape(-1)].min(prio.reshape(-1))
 
-    # Phase 2: winners and acceptance.
-    won = active & (claim[safe_cells] == prio)
+    fill_ext = jnp.concatenate([fill, jnp.full((1,), K, fill.dtype)])
+    won = jnp.zeros((B, V), bool)
+    # K claim rounds: one winner per cell per round (K = 1 is the original
+    # single-pass scatter-min).
+    for _ in range(K):
+        a = active & ~won & (fill_ext[safe_cells] < K)
+        sc = jnp.where(a, cell_ids, n_cells)
+        claim = jnp.full((n_cells + 1,), B, jnp.int32)
+        claim = claim.at[sc.reshape(-1)].min(
+            jnp.where(a, prio, B).reshape(-1)
+        )
+        won_r = a & (claim[sc] == prio)
+        won = won | won_r
+        fill_ext = fill_ext.at[jnp.where(won_r, cell_ids, n_cells).reshape(-1)].add(
+            won_r.reshape(-1).astype(fill.dtype)
+        )
+
     accepted = jnp.sum(won, axis=1) >= min_grids
 
-    # Phase 3: write accepted winners.
+    # Write accepted winners into successive free slots. Within a batch at
+    # most K candidates won a given cell; their slot index is the prior
+    # fill count plus their rank among the cell's winners (rank by
+    # priority via a stable per-(cell) cumulative count).
     write = won & accepted[:, None]
-    wcells = jnp.where(write, cell_ids, n_cells).reshape(-1)
+    # Rank each write within its cell by priority order: process the K
+    # rounds' winners in order again, assigning increasing slot ids.
+    slot_of = jnp.zeros((B, V), jnp.int32)
+    next_slot = jnp.concatenate([fill, jnp.zeros((1,), fill.dtype)])
+    assigned = jnp.zeros((B, V), bool)
+    for _ in range(K):
+        a = write & ~assigned
+        sc = jnp.where(a, cell_ids, n_cells)
+        claim = jnp.full((n_cells + 1,), B, jnp.int32)
+        claim = claim.at[sc.reshape(-1)].min(
+            jnp.where(a, prio, B).reshape(-1)
+        )
+        pick = a & (claim[sc] == prio)
+        slot_of = jnp.where(pick, next_slot[sc].astype(jnp.int32), slot_of)
+        assigned = assigned | pick
+        next_slot = next_slot.at[
+            jnp.where(pick, cell_ids, n_cells).reshape(-1)
+        ].add(pick.reshape(-1).astype(fill.dtype))
+
+    wflat = jnp.where(
+        write, cell_ids * K + jnp.clip(slot_of, 0, K - 1), n_cells * K
+    ).reshape(-1)
     values = jnp.broadcast_to(
         global_ids.astype(jnp.int32)[:, None], (B, V)
     ).reshape(-1)
-    new_flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.int32)])
-    new_flat = new_flat.at[wcells].set(values)  # non-writes land in the dump slot
-    new_grids = dataclasses.replace(
-        grids, cells=new_flat[:-1].reshape(V, Hg, Wg)
+    new_slots = jnp.concatenate(
+        [slots.reshape(-1), jnp.zeros((1,), jnp.int32)]
     )
+    new_slots = new_slots.at[wflat].set(values)
+    new_cells = new_slots[:-1].reshape(
+        (V, Hg, Wg) if K == 1 else (V, Hg, Wg, K)
+    )
+    new_grids = dataclasses.replace(grids, cells=new_cells)
     return accepted, new_grids

@@ -13,6 +13,7 @@ bundle adjustment (ba/) around the geometric stages.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax.numpy as jnp
 import numpy as np
@@ -56,11 +57,20 @@ class DensifyResult:
         write_ply(path, self.positions, self.normals, self.colors, binary=binary)
 
 
-def _bundle_adjust(cameras: Cameras, points, obs, obs_mask, ba_config):
-    """Refine cameras + seed points from the matched tracks (ba/)."""
+def _bundle_adjust(cameras: Cameras, points, obs, obs_mask, ba_config,
+                   mesh=None):
+    """Refine cameras + seed points from the matched tracks (ba/).
+
+    With `mesh`, observations shard over it (run_ba_sharded: one psum per
+    segment reduction, camera/point blocks replicated)."""
     import jax
 
-    from densepoints_tpu.ba import BAProblem, reprojection_rmse, run_ba
+    from densepoints_tpu.ba import (
+        BAProblem,
+        reprojection_rmse,
+        run_ba,
+        run_ba_sharded,
+    )
 
     T, V = obs_mask.shape
     tp, tv = np.nonzero(obs_mask)
@@ -74,7 +84,18 @@ def _bundle_adjust(cameras: Cameras, points, obs, obs_mask, ba_config):
         obs_xy=jnp.asarray(obs[tp, tv], jnp.float32),
         obs_mask=jnp.ones((len(tp),), bool),
     )
-    R, C, new_points, _ = run_ba(
+    if mesh is not None:
+        from densepoints_tpu.parallel.mesh import replicate
+
+        # Replicated placement first so multi-process meshes see a global
+        # array (shard_map then reshards the observation leaves).
+        problem = jax.tree.map(
+            lambda a: jax.device_put(a, replicate(mesh)), problem
+        )
+        solve = functools.partial(run_ba_sharded, mesh=mesh)
+    else:
+        solve = run_ba
+    R, C, new_points, _ = solve(
         problem,
         max_outer_iterations=ba_config.max_outer_iterations,
         cg_iterations=ba_config.cg_iterations,

@@ -22,11 +22,16 @@ from densepoints_tpu.features.descriptors import brief_pattern, compute_descript
 from densepoints_tpu.features.detector import detect_keypoints
 from densepoints_tpu.features.matching import (
     direct_epipolar_pair,
+    direct_epipolar_pair_topk,
     filter_matches_epipolar,
     match_pair,
     match_pair_absolute,
 )
-from densepoints_tpu.features.tracks import build_tracks, triangulate_tracks
+from densepoints_tpu.features.tracks import (
+    build_tracks,
+    build_tracks_onehop,
+    triangulate_tracks,
+)
 from densepoints_tpu.geometry.fundamental import fundamental_matrices_for_pairs
 from densepoints_tpu.pmvs.patch import PatchState
 from densepoints_tpu.pmvs.visibility import classify_views
@@ -128,6 +133,26 @@ def generate_seed_points(
             return m
 
         matches = jax.vmap(_one)(F_dev, i1, i2)
+    elif config.matcher == "epipolar_all":
+        # Reference semantics (matcher.cpp:267-317): EVERY pair within the
+        # threshold matches (capped at epipolar_topk partners/keypoint),
+        # consumed by ONE-HOP track assembly (no union-find transitivity).
+        def _one(F, a, b):
+            m, _ = direct_epipolar_pair_topk(
+                F, xy[a], xy[b], valid[a], valid[b],
+                config.max_epipolar_distance, config.epipolar_topk,
+            )
+            return m
+
+        matches = jax.vmap(_one)(F_dev, i1, i2)  # (P, N, K)
+        n_matches = np.asarray(jnp.sum(matches >= 0, axis=(1, 2)))
+        log.info("matches per pair (all-pairs): %s", n_matches.tolist())
+        obs, mask, _ = build_tracks_onehop(
+            V, np.asarray(xy), pairs, np.asarray(matches), min_views=2
+        )
+        points = triangulate_tracks(np.asarray(cameras.P), obs, mask)
+        log.info("tracks (one-hop): %d -> seed points", len(points))
+        return points, obs, mask
     else:
         raise ValueError(f"unknown matcher {config.matcher!r}")
 

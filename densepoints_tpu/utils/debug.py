@@ -77,6 +77,8 @@ def dump_occupancy(out_dir, grids):
     """Occupancy images per view like Expand::PrintPatchGrids (view_<v>.png)."""
     out_dir = Path(out_dir)
     cells = np.asarray(grids.cells)
+    if cells.ndim == 4:  # K slots per cell: occupied = any slot filled
+        cells = cells.max(axis=3)
     for v in range(cells.shape[0]):
         img = np.where(cells[v] >= 0, 255, 0).astype(np.uint8)
         _save(out_dir / f"view_{v}.png", img)

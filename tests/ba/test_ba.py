@@ -105,3 +105,34 @@ def test_ba_masked_observations_ignored(rng):
     R, C, points, _ = run_ba(problem2, max_outer_iterations=15)
     rmse = float(reprojection_rmse(problem, R, C, points))  # vs clean obs
     assert rmse < 0.2, rmse
+
+
+def test_sharded_ba_matches_single_device(rng):
+    """Observation-sharded BA (one psum per segment reduction) must produce
+    the same camera/point updates as the single-device solver."""
+    from densepoints_tpu.ba import run_ba, run_ba_sharded
+    from densepoints_tpu.parallel import make_mesh
+
+    problem, _, _, _ = _make_problem(
+        rng, noise_px=0.3, cam_rot_pert=0.01, cam_trans_pert=0.05,
+        point_pert=0.05,
+    )
+    R1, C1, X1, c1 = run_ba(
+        problem, max_outer_iterations=4, cg_iterations=25
+    )
+    mesh = make_mesh()
+    R2, C2, X2, c2 = run_ba_sharded(
+        problem, mesh, max_outer_iterations=4, cg_iterations=25
+    )
+    # f32 psum reduction order differs from the single-device segment_sum;
+    # 4 LM iterations amplify that to ~3e-5 — the solutions are the same.
+    np.testing.assert_allclose(
+        np.asarray(R2), np.asarray(R1), atol=2e-4, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(C2), np.asarray(C1), atol=2e-4, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(X2), np.asarray(X1), atol=5e-4, rtol=0
+    )
+    assert abs(float(c1) - float(c2)) < 1e-4

@@ -35,3 +35,9 @@ def rng():
     # Function-scoped: every test gets the same fresh seeded stream, so
     # outcomes never depend on execution order.
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running integration tests"
+    )

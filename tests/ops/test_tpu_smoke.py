@@ -68,7 +68,7 @@ def test_warp_ncc_resident_kernel_compiles(rng):
 
     cams, images = _scene(rng)
     pos, nrm, refs, vis = _patches(cams, rng, 12)
-    assert images.size * 2 <= warp_ncc.RESIDENT_LIMIT_BYTES
+    assert images.size * 2 <= warp_ncc._resident_limit()
     ref_scores, _, _ = patch_ncc_scores(images, cams, pos, nrm, refs, vis, 11)
     fused_scores, _, _ = patch_ncc_scores_fused(
         images, cams, pos, nrm, refs, vis, 11

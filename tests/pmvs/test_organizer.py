@@ -85,3 +85,56 @@ def test_out_of_bounds_cells_invalid(rng):
     vis = jnp.ones((1, 4), bool)
     cells = candidate_cells(grids, cams, pos, vis, 8)
     assert (np.asarray(cells) == -1).all()
+
+
+def test_multi_slot_cells_honored(rng):
+    """max_patches_per_cell K > 1 (patch_organizer.h:44): a cell admits K
+    patches, the K+1-th is rejected, slots fill in priority order."""
+    import jax.numpy as jnp
+
+    from densepoints_tpu.pmvs.organizer import bulk_try_insert, OccupancyGrids
+
+    # One view grid, 2x2 cells, K=2 — three candidates all aim at cell 0
+    # of views 0 and 1 (min_grids=2 so both must land).
+    V, Hg, Wg, K = 2, 2, 2, 2
+    grids = OccupancyGrids(
+        cells=jnp.full((V, Hg, Wg, K), -1, jnp.int32),
+        cols=jnp.full((V,), Wg, jnp.int32),
+        rows=jnp.full((V,), Hg, jnp.int32),
+    )
+    # cell id layout: view * Hg * Wg + row * Wg + col
+    cells = jnp.asarray(
+        [[0, 4], [0, 4], [0, 4]], jnp.int32
+    )  # all three want cell 0 in view 0 and cell 0 in view 1
+    alive = jnp.ones((3,), bool)
+    ids = jnp.asarray([10, 11, 12], jnp.int32)
+    accepted, new = bulk_try_insert(grids, cells, alive, ids, min_grids=2)
+    acc = np.asarray(accepted)
+    assert acc.tolist() == [True, True, False]  # K=2 slots, third rejected
+    c = np.asarray(new.cells)
+    assert c[0, 0, 0].tolist() == [10, 11]
+    assert c[1, 0, 0].tolist() == [10, 11]
+    # Re-insert: cells are full now, everyone rejected.
+    acc2, new2 = bulk_try_insert(new, cells, alive, ids + 5, min_grids=2)
+    assert not np.any(np.asarray(acc2))
+    np.testing.assert_array_equal(np.asarray(new2.cells), c)
+
+
+def test_single_slot_path_unchanged(rng):
+    """K = 1 keeps the original 3-D cells layout and semantics."""
+    import jax.numpy as jnp
+
+    from densepoints_tpu.pmvs.organizer import bulk_try_insert, OccupancyGrids
+
+    grids = OccupancyGrids(
+        cells=jnp.full((2, 2, 2), -1, jnp.int32),
+        cols=jnp.full((2,), 2, jnp.int32),
+        rows=jnp.full((2,), 2, jnp.int32),
+    )
+    cells = jnp.asarray([[0, 4], [0, 4]], jnp.int32)
+    accepted, new = bulk_try_insert(
+        grids, cells, jnp.ones((2,), bool), jnp.asarray([7, 8]), 2
+    )
+    assert np.asarray(accepted).tolist() == [True, False]
+    assert new.cells.ndim == 3
+    assert int(new.cells[0, 0, 0]) == 7 and int(new.cells[1, 0, 0]) == 7
