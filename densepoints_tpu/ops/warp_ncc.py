@@ -95,102 +95,25 @@ def _resident_limit() -> int:
     return 8 * 1024 * 1024
 
 
-def _kernel_factory(M: int, S: int, n_real: int):
+def _kernel_factory(M: int, S: int, n_real: int, resident: bool):
     """Kernel over TILE_B patches with M slots of S samples (n_real live).
 
-    Compute is batched over the M slots of a patch (no per-slot Python
-    loop on the sampling path): hat weights are built for all slots in one
-    VPU op and the bilinear row-profile is one 128-contraction matmul per
-    slot — MXU-shaped (S x WIN_W @ WIN_W x WIN_H) with no relayouts, so
-    Mosaic pipelines the M dots back-to-back while the next patch's
-    windows are still in flight.
-    """
+    ONE compute design serves both memory regimes; only the window access
+    differs:
+      * resident=True: the whole (bf16, row-flattened) image stack sits in
+        VMEM and a slot's window is a dynamic VMEM slice feeding the MXU
+        directly — no DMA issue/wait overhead (the measured dominant cost
+        of the streaming variant at bench shapes);
+      * resident=False (streaming — scenes too big for VMEM, e.g. a DTU
+        scan): windows arrive as per-slot async bf16 DMAs from the SAME
+        row-flattened HBM layout. All TILE_B x M copies are issued up
+        front and waited per patch, so later patches' transfers overlap
+        earlier patches' matmuls; a wait interleaved between matmuls
+        stalls the MXU pipeline (measured 21 ms vs 7.7 ms per call).
 
-    def kernel(y0_ref, x0_ref, view_ref, xs_ref, ys_ref, images_ref,
-               out_ref, roi_ref, tex_ref, sems):
-        # Start all DMAs for this step's TILE_B x M windows.
-        for i in range(TILE_B):
-            for m in range(M):
-                v = view_ref[i, m]
-                y0 = pl.multiple_of(y0_ref[i, m], 8)
-                x0 = pl.multiple_of(x0_ref[i, m], 128)
-                pltpu.make_async_copy(
-                    images_ref.at[v, pl.ds(y0, WIN_H), pl.ds(x0, WIN_W)],
-                    roi_ref.at[i, m],
-                    sems.at[i, m],
-                ).start()
-
-        col_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (M * S, WIN_W), 1
-        ).astype(jnp.float32)
-        row_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (M * S, WIN_H), 1
-        ).astype(jnp.float32)
-        n = jnp.float32(n_real)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        smask = (lane < n_real).astype(jnp.float32)  # (1, S)
-
-        for i in range(TILE_B):
-            # Wait for ALL of patch i's windows first: a wait interleaved
-            # between matmuls stalls the MXU pipeline (measured 21ms vs
-            # 7.7ms per call for the per-patch wait block).
-            for m in range(M):
-                pltpu.make_async_copy(
-                    images_ref.at[0, pl.ds(0, WIN_H), pl.ds(0, WIN_W)],
-                    roi_ref.at[i, m],
-                    sems.at[i, m],
-                ).wait()
-            # Hat weights for ALL M slots in two VPU ops ((M*S, W) 2-D
-            # layouts keep Mosaic happy — no mid-dim ref slicing).
-            xs = xs_ref[i]  # (M*S,) sample x for every slot, stacked
-            ys = ys_ref[i]
-            # Split the x hat weight into bf16 high+low halves: the MXU
-            # runs bf16 at 4x the f32 rate, and (hi + lo) recovers full
-            # f32 weight precision (lo holds the bits hi drops), so the
-            # interpolated texture keeps sub-quantization accuracy.
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - col_ids))
-            wx_hi = wx.astype(jnp.bfloat16)
-            wx_lo = (wx - wx_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - row_ids))
-            for m in range(M):
-                roi_bf = roi_ref[i, m].astype(jnp.bfloat16)
-                dims = (((1,), (1,)), ((), ()))
-                prof = jax.lax.dot_general(
-                    wx_hi[m * S:(m + 1) * S], roi_bf, dims,
-                    preferred_element_type=jnp.float32,
-                ) + jax.lax.dot_general(
-                    wx_lo[m * S:(m + 1) * S], roi_bf, dims,
-                    preferred_element_type=jnp.float32,
-                )  # (S, WIN_H)
-                tex_ref[m, :] = jnp.sum(
-                    wy[m * S:(m + 1) * S] * prof, axis=1
-                )
-
-            # NCC of each slot against slot 0, masked to the real texels.
-            tex = tex_ref[:, :] * smask  # (M, S) zeros on padded lanes
-            anchor = tex[0:1, :]
-            am = jnp.sum(anchor, axis=1, keepdims=True) / n
-            tm = jnp.sum(tex, axis=1, keepdims=True) / n
-            ca = (anchor - am) * smask
-            ct = (tex - tm) * smask
-            cov = jnp.sum(ca * ct, axis=1) / n
-            va = jnp.sum(ca * ca, axis=1) / n
-            vt = jnp.sum(ct * ct, axis=1) / n
-            denom = jnp.maximum(jnp.sqrt(va) * jnp.sqrt(vt), NCC_MIN_DENOM)
-            out_ref[i, :] = cov / denom
-
-    return kernel
-
-
-def _kernel_factory_resident(M: int, S: int, n_real: int):
-    """Kernel variant with the WHOLE image set resident in VMEM as bf16.
-
-    Windows are dynamic VMEM slices feeding the MXU directly — no DMA
-    issues, no semaphores, no ROI scratch, no per-slot casts. The image
-    stack arrives flattened to (pages * Hp, Wp) so a slot read is a single
-    sublane-offset slice at row0 = view * Hp + y0 (both multiples of 8).
-
-    Two measured design points (scripts/kernel_ablate.py on v5e):
+    Shared compute (design points measured in scripts/kernel_ablate.py on
+    v5e, first landed on the resident variant in round 2 and ported to the
+    streaming variant in round 3 so >VMEM scenes hit the same MXU path):
       * matmul orientation is TRANSPOSED — roi @ E^T streams WIN_H rows
         through the MXU for an S-wide output instead of S rows for a
         WIN_H-wide one (WIN_H=56 < S=128, so the non-transposed form left
@@ -207,7 +130,22 @@ def _kernel_factory_resident(M: int, S: int, n_real: int):
     """
 
     def kernel(row0_ref, x0_ref, xs_ref, ys_ref, images_ref, out_ref,
-               tex_ref):
+               *scratch):
+        if resident:
+            (tex_ref,) = scratch
+        else:
+            roi_ref, tex_ref, sems = scratch
+            # Start all DMAs for this step's TILE_B x M windows.
+            for i in range(TILE_B):
+                for m in range(M):
+                    row0 = pl.multiple_of(row0_ref[i, m], 8)
+                    x0 = pl.multiple_of(x0_ref[i, m], 128)
+                    pltpu.make_async_copy(
+                        images_ref.at[pl.ds(row0, WIN_H), pl.ds(x0, WIN_W)],
+                        roi_ref.at[i, m],
+                        sems.at[i, m],
+                    ).start()
+
         col_ids_bf = jax.lax.broadcasted_iota(
             jnp.int32, (M * S, WIN_W), 1
         ).astype(jnp.float32).astype(jnp.bfloat16)
@@ -220,6 +158,14 @@ def _kernel_factory_resident(M: int, S: int, n_real: int):
         dims = (((1,), (1,)), ((), ()))
 
         for i in range(TILE_B):
+            if not resident:
+                # Wait for ALL of patch i's windows before any matmul.
+                for m in range(M):
+                    pltpu.make_async_copy(
+                        images_ref.at[pl.ds(0, WIN_H), pl.ds(0, WIN_W)],
+                        roi_ref.at[i, m],
+                        sems.at[i, m],
+                    ).wait()
             xs = xs_ref[i]  # (M*S,)
             ys = ys_ref[i]
             ix = jnp.floor(xs)
@@ -236,9 +182,12 @@ def _kernel_factory_resident(M: int, S: int, n_real: int):
             )
             wyT = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, :] - rows_h))
             for m in range(M):
-                row0 = pl.multiple_of(row0_ref[i, m], 8)
-                x0 = pl.multiple_of(x0_ref[i, m], 128)
-                roi = images_ref[pl.ds(row0, WIN_H), pl.ds(x0, WIN_W)]
+                if resident:
+                    row0 = pl.multiple_of(row0_ref[i, m], 8)
+                    x0 = pl.multiple_of(x0_ref[i, m], 128)
+                    roi = images_ref[pl.ds(row0, WIN_H), pl.ds(x0, WIN_W)]
+                else:
+                    roi = roi_ref[i, m]
                 left = jax.lax.dot_general(
                     roi, E[m * S:(m + 1) * S], dims,
                     preferred_element_type=jnp.float32,
@@ -310,63 +259,38 @@ def warp_ncc_scores(
     # other path be silently reused for identical shapes.
     if resident is None:
         resident = images.size * 2 <= _resident_limit()  # bf16-resident bytes
-    if resident:
-        return _warp_ncc_resident(
-            images, y0, x0, view_ids, xs, ys, Bp, B, M, S, n_real, interpret
-        )
 
-    kernel = _kernel_factory(M, S, n_real)
-    smem_spec = pl.BlockSpec(
-        (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.SMEM
-    )
-    coord_spec = pl.BlockSpec(
-        (TILE_B, M * S), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((Bp, M), jnp.float32),
-        grid=(Bp // TILE_B,),
-        in_specs=[
-            smem_spec,  # y0
-            smem_spec,  # x0
-            smem_spec,  # view ids
-            coord_spec,  # xs
-            coord_spec,  # ys
-            pl.BlockSpec(memory_space=pl.ANY),  # images stay in HBM
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((TILE_B, M, WIN_H, WIN_W), jnp.float32),
-            pltpu.VMEM((M, S), jnp.float32),
-            pltpu.SemaphoreType.DMA((TILE_B, M)),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(y0, x0, view_ids, xs, ys, images.astype(jnp.float32))
-    return out[:B]
-
-
-def _warp_ncc_resident(
-    images, y0, x0, view_ids, xs, ys, Bp, B, M, S, n_real, interpret
-):
-    """Resident-images dispatch: flatten pages into rows, one slice per slot."""
+    # Both regimes share the row-flattened bf16 layout: pages stacked into
+    # rows so a slot read/DMA is a single 2-D slice at row0 = view*Hp + y0
+    # (both multiples of 8 -> row0 % 8 == 0).
     P, H, W = images.shape
     Hp = -(-H // 8) * 8
     if Hp != H:
         images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, 0)))
-    flat = images.reshape(P * Hp, W)
-    row0 = view_ids * Hp + y0  # both multiples of 8 -> row0 % 8 == 0
-    kernel = _kernel_factory_resident(M, S, n_real)
+    flat = images.reshape(P * Hp, W).astype(jnp.bfloat16)
+    row0 = view_ids * Hp + y0
+
+    kernel = _kernel_factory(M, S, n_real, resident)
     smem_spec = pl.BlockSpec(
         (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.SMEM
     )
     coord_spec = pl.BlockSpec(
         (TILE_B, M * S), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    if resident:
+        # Whole image stack in VMEM, fetched once (constant index map).
+        images_spec = pl.BlockSpec(
+            (P * Hp, W), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [pltpu.VMEM((M, S), jnp.float32)]
+    else:
+        # Images stay in HBM; windows stream via per-slot async copies.
+        images_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((TILE_B, M, WIN_H, WIN_W), jnp.bfloat16),
+            pltpu.VMEM((M, S), jnp.float32),
+            pltpu.SemaphoreType.DMA((TILE_B, M)),
+        ]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Bp, M), jnp.float32),
@@ -376,19 +300,17 @@ def _warp_ncc_resident(
             smem_spec,  # x0
             coord_spec,  # xs
             coord_spec,  # ys
-            pl.BlockSpec(
-                (P * Hp, W), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),  # whole image stack, fetched once (constant index map)
+            images_spec,
         ],
         out_specs=pl.BlockSpec(
             (TILE_B, M), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((M, S), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(row0, x0, xs, ys, flat.astype(jnp.bfloat16))
+    )(row0, x0, xs, ys, flat)
     return out[:B]
 
 
