@@ -171,9 +171,18 @@ def photometric_objective(
     vis: jax.Array,
     texture_size: int,
     impl: str = "auto",
+    max_score_views: int = 16,
 ):
-    """Build the batched objective f(params (B, K, 3)) -> (B, K)."""
+    """Build the batched objective f(params (B, K, 3)) -> (B, K).
+
+    The reference averages (1 - NCC) over EVERY visible texture
+    (optimization_opencv.cpp:25-38); views are scored in anchor-pinned
+    chunks of `max_score_views` slots (see `_anchor_chunks`), so
+    DTU-scale visibility (V ~ 50) contributes every view to the cost
+    instead of silently truncating at the compaction width.
+    """
     C_ref = cameras.C[ref]  # (B, 3)
+    chunks = _anchor_chunks(vis, max_score_views)
 
     def f(params: jax.Array) -> jax.Array:
         B, K, _ = params.shape
@@ -184,15 +193,22 @@ def photometric_objective(
         nrm = nrm.reshape(B * K, 3)
         ref_bk = jnp.repeat(ref, K)
         vis_bk = jnp.repeat(vis, K, axis=0)
-        scores, _, ok = patch_ncc_scores(
-            images, cameras, pos, nrm, ref_bk, vis_bk, texture_size,
-            impl=impl,
-        )
-        counted = ok.at[:, 0].set(False)  # all visible slots except anchor
-        err = jnp.where(counted, 1.0 - scores, 0.0)
-        n = jnp.sum(counted, axis=1)
+        err_sum = jnp.zeros((B * K,), params.dtype)
+        n_sum = jnp.zeros((B * K,), jnp.int32)
+        for chunk_ids, chunk_ok in chunks:
+            scores, _, ok = patch_ncc_scores(
+                images, cameras, pos, nrm, ref_bk, vis_bk, texture_size,
+                impl=impl,
+                view_ids=jnp.repeat(chunk_ids, K, axis=0),
+                ok=jnp.repeat(chunk_ok, K, axis=0),
+            )
+            counted = ok.at[:, 0].set(False)  # visible slots except anchor
+            err_sum = err_sum + jnp.sum(
+                jnp.where(counted, 1.0 - scores, 0.0), axis=1
+            )
+            n_sum = n_sum + jnp.sum(counted, axis=1)
         cost = jnp.where(
-            n > 0, jnp.sum(err, axis=1) / jnp.maximum(n, 1), 2.0
+            n_sum > 0, err_sum / jnp.maximum(n_sum, 1), 2.0
         )
         return cost.reshape(B, K)
 
@@ -307,6 +323,7 @@ def optimize_patches(
         state.vis,
         texture_size,
         impl=config.sampling_impl,
+        max_score_views=config.max_score_views,
     )
     B = state.capacity
     x0 = jnp.zeros((B, 3), state.position.dtype)
