@@ -109,10 +109,13 @@ def _qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
 
 
 def _colmap_K(model: str, params: list[float]) -> np.ndarray:
-    if model == "SIMPLE_PINHOLE" or model == "SIMPLE_RADIAL":
+    # Single-focal models: params = f, cx, cy, [distortion...]. RADIAL is
+    # f, cx, cy, k1, k2 (single focal) — parsing it as fx,fy,cx,cy would
+    # silently emit garbage intrinsics (ADVICE r2, high).
+    if model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL", "RADIAL"):
         f, cx, cy = params[:3]
         fx = fy = f
-    elif model in ("PINHOLE", "RADIAL", "OPENCV", "FULL_OPENCV"):
+    elif model in ("PINHOLE", "OPENCV", "FULL_OPENCV"):
         fx, fy, cx, cy = params[:4]
     else:
         raise ValueError(f"unsupported COLMAP camera model {model!r}")
@@ -145,28 +148,31 @@ def colmap_to_scene_json(sparse_dir, images_dir, out_path) -> Path:
             params = [float(p) for p in parts[4:]]
             cameras[cam_id] = _colmap_K(model, params)
 
-    def _is_image_line(parts: list[str]) -> bool:
-        # Image lines are "ID qw qx qy qz tx ty tz CAM_ID NAME"; the
-        # alternating POINTS2D lines are all-numeric (and may be empty), so
-        # keying on a non-numeric 10th field is robust to blank lines.
-        if len(parts) < 10:
-            return False
-        try:
-            float(parts[9])
-            return False
-        except ValueError:
-            return True
-
+    # images.txt is structurally paired: each image line
+    # "ID qw qx qy qz tx ty tz CAM_ID NAME" is followed by exactly one
+    # POINTS2D line (possibly empty). Consume them as pairs instead of
+    # sniffing whether a field parses as a float — content sniffing
+    # silently dropped images whose filename is numeric-like, e.g. "1e5"
+    # (ADVICE r2).
     views = []
     with open(sparse_dir / "images.txt") as f:
         lines = [
-            ln.strip()
-            for ln in f
-            if ln.strip() and not ln.strip().startswith("#")
+            ln.strip() for ln in f if not ln.strip().startswith("#")
         ]
+    image_lines = []
+    expect_image = True
     for ln in lines:
+        if expect_image:
+            if not ln:
+                continue  # stray blank where an image line is expected
+            image_lines.append(ln)
+            expect_image = False
+        else:
+            expect_image = True  # the POINTS2D line (even if empty)
+    for ln in image_lines:
         parts = ln.split()
-        if not _is_image_line(parts):
+        if len(parts) < 10:
+            log.warning("images.txt: malformed image line dropped: %r", ln)
             continue
         qvec = np.array([float(p) for p in parts[1:5]])
         tvec = np.array([float(p) for p in parts[5:8]])

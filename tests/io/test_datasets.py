@@ -52,6 +52,50 @@ def test_dtu_adapter_skips_missing_images(tmp_path, rng):
     assert loaded.cameras.num_views == 2  # pmvs.cpp:15-19 drop semantics
 
 
+def test_colmap_radial_single_focal_and_numeric_names(tmp_path, rng):
+    """RADIAL params are f,cx,cy,k1,k2 (single focal), and numeric-looking
+    filenames must not be mistaken for POINTS2D lines (ADVICE r2)."""
+    scene = TexturedPlaneScene(rng, num_views=2, width=64, height=48)
+    sparse = tmp_path / "sparse"
+    sparse.mkdir()
+    K = scene.K
+    assert K[0, 0] == K[1, 1]  # single focal in the fixture
+    with open(sparse / "cameras.txt", "w") as f:
+        f.write(
+            f"1 RADIAL 64 48 {K[0, 0]} {K[0, 2]} {K[1, 2]} 0.001 0.0001\n"
+        )
+    with open(sparse / "images.txt", "w") as f:
+        for i in range(2):
+            M = np.linalg.inv(K) @ scene.P[i]
+            R, t = M[:, :3], M[:, 3]
+            w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+            x = (R[2, 1] - R[1, 2]) / (4 * w)
+            y = (R[0, 2] - R[2, 0]) / (4 * w)
+            z = (R[1, 0] - R[0, 1]) / (4 * w)
+            # Filename "1e5.png"... without extension parses as a float.
+            f.write(
+                f"{i + 1} {w} {x} {y} {z} {t[0]} {t[1]} {t[2]} 1 1e{i}\n"
+            )
+            f.write("1.0 2.0 3\n")  # non-empty POINTS2D line
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    imgs = scene.render_all()
+    for i in range(2):  # extension-less name -> explicit format
+        Image.fromarray(
+            np.clip(imgs[i], 0, 255).astype(np.uint8)
+        ).save(img_dir / f"1e{i}", format="PNG")
+    out = colmap_to_scene_json(sparse, img_dir, tmp_path / "s.json")
+    loaded = load_scene(out)
+    assert loaded.cameras.num_views == 2
+    pt = np.array([0.1, -0.2, 0.05, 1.0])
+    for i in range(2):
+        want = scene.P[i] @ pt
+        got = np.asarray(loaded.cameras.P)[i] @ pt
+        np.testing.assert_allclose(
+            got[:2] / got[2], want[:2] / want[2], atol=1e-3
+        )
+
+
 def test_colmap_adapter_roundtrip(tmp_path, rng):
     scene = TexturedPlaneScene(rng, num_views=3, width=64, height=48)
     sparse = tmp_path / "sparse"
