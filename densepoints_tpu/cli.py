@@ -57,11 +57,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--num-processes", type=int, help="multi-host process count"
     )
     p.add_argument("--process-id", type=int, help="this process's id")
+    p.add_argument(
+        "--platform",
+        help="force a jax platform (e.g. 'cpu'): some TPU plugins ignore "
+        "the JAX_PLATFORMS environment variable, so this sets it "
+        "in-process before the backend initializes",
+    )
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     config = load_config(args.settings) if args.settings else PipelineConfig()
     runtime_overrides = {
         key: value
@@ -109,7 +119,10 @@ def main(argv=None) -> int:
         result.save_ply(args.output, binary=not args.ascii)
         log.info("wrote %d points to %s", len(result.positions), args.output)
 
-    if args.mesh:
+    # Mesh extraction/write only on process 0: in a multi-host job every
+    # process reaches here and concurrent writes to one path would corrupt
+    # it on shared filesystems (ADVICE r2).
+    if args.mesh and jax.process_index() == 0:
         from densepoints_tpu.surface.tsdf import extract_surface
 
         verts, faces = extract_surface(

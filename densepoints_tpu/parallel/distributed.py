@@ -202,36 +202,46 @@ def viewsharded_insert(
       (view * Hg * Wg + row * Wg + col), -1 invalid. V must be a multiple of
       the mesh size (see `pad_views`).
     Returns (accepted (P,) bool replicated, new grids view-sharded).
+
+    Multi-slot cells (`max_patches_per_cell` K > 1, patch_organizer.h:44):
+    a cell is owned by exactly one device, so the K claim rounds of the
+    single-device organizer (`bulk_try_insert`) run UNCHANGED on the local
+    view slice; only the >=min_grids acceptance vote crosses devices.
     """
-    assert grids.slots_per_cell == 1, (
-        "view-sharded insertion supports max_patches_per_cell=1; use the "
-        "single-device organizer for multi-slot cells"
-    )
-    V, Hg, Wg = grids.cells.shape
+    V, Hg, Wg = grids.cells.shape[:3]
+    K = grids.slots_per_cell
     n_dev = mesh.devices.size
     assert V % n_dev == 0, "pad_views() the grids to the mesh size first"
     v_loc = V // n_dev
-    cells_per_view = Hg * Wg
-    n_local = v_loc * cells_per_view
+    n_local = v_loc * Hg * Wg
     prio = global_ids.astype(jnp.int32)
 
     def local(cell_slice, alive, prio, grid_slice):
-        """cell_slice (P, v_loc); grid_slice (v_loc, Hg, Wg) — both local."""
+        """cell_slice (P, v_loc); grid_slice (v_loc, Hg, Wg[, K]) — local."""
         # Rebase global view-major ids to this device's slice.
         base = jax.lax.axis_index(PATCH_AXIS) * n_local
         local_ids = cell_slice - base
-        flat = grid_slice.reshape(-1)
+        slots = grid_slice.reshape(n_local, K)
+        fill = jnp.sum(slots >= 0, axis=1)
         active = alive[:, None] & (cell_slice >= 0)
         safe = jnp.where(active, local_ids, n_local)
-        occ = jnp.concatenate([flat >= 0, jnp.ones((1,), bool)])[safe]
-        active = active & ~occ
-        safe = jnp.where(active, local_ids, n_local)
         big = jnp.iinfo(jnp.int32).max
-        claim = jnp.full((n_local + 1,), big, jnp.int32)
-        claim = claim.at[safe.reshape(-1)].min(
-            jnp.where(active, prio[:, None], big).reshape(-1)
-        )
-        won = active & (claim[safe] == prio[:, None])
+        fill_ext = jnp.concatenate([fill, jnp.full((1,), K, fill.dtype)])
+        won = jnp.zeros(active.shape, bool)
+        # K claim rounds: each awards one free slot per cell to the lowest
+        # remaining priority (K = 1 is the original single-pass scatter-min).
+        for _ in range(K):
+            a = active & ~won & (fill_ext[safe] < K)
+            sc = jnp.where(a, local_ids, n_local)
+            claim = jnp.full((n_local + 1,), big, jnp.int32)
+            claim = claim.at[sc.reshape(-1)].min(
+                jnp.where(a, prio[:, None], big).reshape(-1)
+            )
+            won_r = a & (claim[sc] == prio[:, None])
+            won = won | won_r
+            fill_ext = fill_ext.at[
+                jnp.where(won_r, local_ids, n_local).reshape(-1)
+            ].add(won_r.reshape(-1).astype(fill.dtype))
         # The ONLY collective: per-candidate win counts, summed over the
         # view shards.
         wins = jax.lax.psum(
@@ -239,10 +249,32 @@ def viewsharded_insert(
         )
         accepted = wins >= min_grids
         write = won & accepted[:, None]
-        wsafe = jnp.where(write, local_ids, n_local).reshape(-1)
+        # Assign accepted winners to successive free slots (K-round rank,
+        # same scheme as bulk_try_insert).
+        slot_of = jnp.zeros(active.shape, jnp.int32)
+        next_slot = jnp.concatenate([fill, jnp.zeros((1,), fill.dtype)])
+        assigned = jnp.zeros(active.shape, bool)
+        for _ in range(K):
+            a = write & ~assigned
+            sc = jnp.where(a, local_ids, n_local)
+            claim = jnp.full((n_local + 1,), big, jnp.int32)
+            claim = claim.at[sc.reshape(-1)].min(
+                jnp.where(a, prio[:, None], big).reshape(-1)
+            )
+            pick = a & (claim[sc] == prio[:, None])
+            slot_of = jnp.where(pick, next_slot[sc].astype(jnp.int32), slot_of)
+            assigned = assigned | pick
+            next_slot = next_slot.at[
+                jnp.where(pick, local_ids, n_local).reshape(-1)
+            ].add(pick.reshape(-1).astype(fill.dtype))
+        wflat = jnp.where(
+            write, local_ids * K + jnp.clip(slot_of, 0, K - 1), n_local * K
+        ).reshape(-1)
         vals = jnp.broadcast_to(prio[:, None], write.shape).reshape(-1)
-        new_flat = jnp.concatenate([flat, jnp.zeros((1,), jnp.int32)])
-        new_flat = new_flat.at[wsafe].set(vals)
+        new_flat = jnp.concatenate(
+            [slots.reshape(-1), jnp.zeros((1,), jnp.int32)]
+        )
+        new_flat = new_flat.at[wflat].set(vals)
         return accepted, new_flat[:-1].reshape(grid_slice.shape)
 
     accepted, new_cells = jax.shard_map(

@@ -9,20 +9,34 @@ sockets anywhere); this layer is the TPU-native multi-host design:
     gloo collectives (tests/parallel/test_multihost.py).
   * one GLOBAL 1-D mesh over all hosts' devices. Patch work shards over it
     exactly as on a single host (the patch axis spans ICI within a slice
-    and DCN across hosts — patch refinement has ZERO collectives, so DCN
-    only carries the tiny insertion votes and the output all-gathers).
+    and DCN across hosts — patch refinement has ZERO collectives).
+  * the seed FRONT-END is view-sharded: each process detects/describes
+    only its view slice (`pmvs/seed.py _viewsharded_features`); one small
+    keypoint/descriptor all-gather replaces the fully replicated front-end
+    of the round-2 design.
   * occupancy grids are VIEW-sharded (each device owns a slice of views'
     grids, `viewsharded_insert`): insertion claims route to the owning
     device and the >=2-grids acceptance rule is a (P,)-int32 psum — no
     V*Hg*Wg replication or min-merge anywhere.
-  * host orchestration (round loop, compaction, seeding, export) runs
-    IDENTICALLY on every process from the same deterministic inputs; jitted
-    stages return fully-REPLICATED outputs (out_shardings) so each host
-    reads them locally without cross-process gathers.
+  * PatchState stays SHARDED over the mesh across expansion rounds: only
+    (P,) acceptance/visibility vectors and scalar counts reach the host
+    each round (the round-2 design all-gathered every PatchState leaf per
+    refine — ~100 MB of DCN per round at the 1e6-patch cap; now the only
+    full gather is the one final pull for filtering/export). Compaction is
+    a jitted on-device gather driven by replicated index vectors, so every
+    process executes the same program on the same global arrays.
 
 Determinism: all contention is resolved by global candidate ids
-(scatter-min), so the N-host cloud equals the 1-host cloud — asserted by
-the multi-process CPU test.
+(scatter-min), and compaction indices are derived from replicated
+vectors — the N-host cloud equals the 1-host cloud (asserted by the
+multi-process CPU test).
+
+Images are REPLICATED to every process by design: the warp+NCC sampling
+path may touch any view's pixels for any patch each Nelder-Mead iteration,
+and a DTU-scale stack (~400 MB bf16) is ~3% of one chip's HBM — far
+cheaper than per-iteration cross-host window fetches. The per-host
+partitioning axis that matters (detection work, occupancy ownership,
+patch blocks) is sharded as described above. See docs/ARCHITECTURE.md.
 """
 from __future__ import annotations
 
@@ -43,6 +57,7 @@ from densepoints_tpu.parallel.distributed import (
 from densepoints_tpu.parallel.mesh import PATCH_AXIS, replicate
 from densepoints_tpu.pmvs.expand import make_expansion_candidates
 from densepoints_tpu.pmvs.filter import run_filters
+from densepoints_tpu.pmvs.optimize import filter_by_error, optimize_patches
 from densepoints_tpu.pmvs.organizer import candidate_cells, make_grids
 from densepoints_tpu.pmvs.patch import PatchState
 from densepoints_tpu.pmvs.pipeline import DensifyResult
@@ -98,50 +113,166 @@ def global_mesh():
     return Mesh(np.asarray(jax.devices()), (PATCH_AXIS,))
 
 
-def _put_replicated(tree, mesh):
-    rep = replicate(mesh)
-    return jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), rep), tree)
+def _bucket(n: int, n_dev: int, minimum: int = 256) -> int:
+    """Next power-of-two capacity >= max(n, minimum), padded to a multiple
+    of the mesh size (keeps the jitted round shapes few AND shardable)."""
+    target = minimum
+    while target < n:
+        target *= 2
+    return -(-target // n_dev) * n_dev
 
 
-def _refine_replicated(mesh, images, cameras, state, texture_size, cfg):
-    """Sharded refine with replicated outputs (host-readable everywhere)."""
-    fn = jax.jit(
-        refine_step_impl,
-        static_argnames=("texture_size", "optimize_config"),
-        in_shardings=(
-            replicate(mesh),
-            replicate(mesh),
-            NamedSharding(mesh, P(PATCH_AXIS)),
-        ),
-        out_shardings=replicate(mesh),
-    )
-    n = mesh.devices.size
-    pad = (-state.capacity) % n
-    if pad:
-        state = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [jnp.asarray(a), jnp.zeros((pad,) + a.shape[1:], a.dtype)],
-                axis=0,
-            ),
-            state,
+class _ShardedOps:
+    """Per-mesh jitted stage functions over a SHARDED PatchState.
+
+    Everything here takes/returns dim-0-sharded patch trees; only `small`
+    (and insert's acceptance vector) produce replicated host-readable
+    outputs.
+    """
+
+    def __init__(self, mesh, cameras_rep, images_rep, config, spec, Vp):
+        self.mesh = mesh
+        self.n_dev = mesh.devices.size
+        self.shard = NamedSharding(mesh, P(PATCH_AXIS))
+        self.rep = replicate(mesh)
+        self.cams = cameras_rep
+        self.images = images_rep
+        self.config = config
+        self.spec = spec  # replicated OccupancyGrids layout (never written)
+        self.Vp = Vp
+        scale = config.organizer.grid_scale
+
+        self.small = jax.jit(
+            lambda st: (st.alive, jnp.sum(st.vis, axis=1).astype(jnp.int32)),
+            out_shardings=self.rep,
         )
-    sharded = jax.tree.map(
-        lambda a: jax.device_put(
-            jnp.asarray(a), NamedSharding(mesh, P(PATCH_AXIS))
-        ),
-        state,
-    )
-    return fn(images, cameras, sharded, texture_size, cfg)
+
+        def _take(st, idx, valid):
+            out = jax.tree.map(lambda a: a[idx], st)
+            return dataclasses.replace(out, alive=out.alive & valid)
+
+        self.take = jax.jit(_take, out_shardings=self.shard)
+
+        self.candidates = jax.jit(
+            lambda cams, st: make_expansion_candidates(cams, st, scale),
+            out_shardings=self.shard,
+        )
+
+        self.refine = jax.jit(
+            refine_step_impl,
+            static_argnames=("texture_size", "optimize_config"),
+            out_shardings=self.shard,
+        )
+        self.seed_filter = jax.jit(
+            filter_by_error,
+            static_argnames=("texture_size", "config"),
+            out_shardings=self.shard,
+        )
+        self.seed_optimize = jax.jit(
+            optimize_patches,
+            static_argnames=("texture_size", "config"),
+            out_shardings=self.shard,
+        )
+
+        V = spec.cells.shape[0]
+
+        def _cells(cams, position, vis):
+            cells = candidate_cells(spec, cams, position, vis, scale)
+            return jnp.pad(
+                cells, ((0, 0), (0, Vp - V)), constant_values=-1
+            )
+
+        self.cells = jax.jit(_cells)
+
+        self.gather = jax.jit(lambda st: st, out_shardings=self.rep)
+
+        def _concat(parts):
+            return jax.tree.map(
+                lambda *ls: jnp.concatenate(ls, axis=0), *parts
+            )
+
+        self.concat = jax.jit(_concat, out_shardings=self.shard)
+
+    def place(self, state: PatchState) -> PatchState:
+        """Pad capacity to a shardable bucket and device_put sharded."""
+        cap = _bucket(state.capacity, self.n_dev)
+        pad = cap - state.capacity
+        if pad:
+            state = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [
+                        jnp.asarray(a),
+                        jnp.zeros((pad,) + a.shape[1:], jnp.asarray(a).dtype),
+                    ],
+                    axis=0,
+                ),
+                state,
+            )
+        return jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), self.shard), state
+        )
+
+    def compact_to(self, state: PatchState, keep: np.ndarray) -> PatchState:
+        """Device-side compaction by a replicated host-computed index set."""
+        idx = np.nonzero(keep)[0].astype(np.int32)
+        cap = _bucket(len(idx), self.n_dev)
+        valid = np.zeros((cap,), bool)
+        valid[: len(idx)] = True
+        idx_pad = np.zeros((cap,), np.int32)
+        idx_pad[: len(idx)] = idx
+        return self.take(
+            state,
+            jax.device_put(jnp.asarray(idx_pad), self.rep),
+            jax.device_put(jnp.asarray(valid), self.rep),
+        )
+
+    def insert(self, gpad, state, gids):
+        """Returns (accepted (P,) bool, DEVICE-replicated, new grids)."""
+        cells = self.cells(self.cams, state.position, state.vis)
+        return viewsharded_insert(
+            self.mesh,
+            gpad,
+            cells,
+            state.alive,
+            jax.device_put(jnp.asarray(gids), self.rep),
+            self.config.organizer.min_grids_to_accept,
+        )
 
 
-def _host_state(state: PatchState) -> PatchState:
-    """Materialize a (replicated) device state as host numpy."""
-    return jax.tree.map(lambda a: np.asarray(a), state)
+def _replicated_host_state(ops: _ShardedOps, state: PatchState) -> PatchState:
+    """The one deliberate full gather: sharded state -> host numpy."""
+    return jax.tree.map(np.asarray, ops.gather(state))
 
 
-def _host_compact(state: PatchState) -> PatchState:
-    keep = np.asarray(state.alive)
-    return jax.tree.map(lambda a: np.asarray(a)[keep], state)
+class _Overhead:
+    """Per-round distribution-overhead accounting (VERDICT r2 task 5).
+
+    Tracks what actually crosses the device->host boundary each round
+    (the small replicated vectors) and what crosses devices (the
+    acceptance psum + the candidate-cell reshard into view shards), so
+    SCALING artifacts report measured bytes/time instead of virtual-mesh
+    "efficiency". All other round work is patch-sharded with zero
+    collectives.
+    """
+
+    def __init__(self):
+        self.host_bytes = 0
+        self.host_sync_s = 0.0
+        self.collective_bytes = 0
+
+    def pull(self, *arrays):
+        """Materialize small replicated device vectors, timed."""
+        import time as _time
+
+        t = _time.perf_counter()
+        out = tuple(np.asarray(a) for a in arrays)
+        self.host_sync_s += _time.perf_counter() - t
+        self.host_bytes += sum(o.nbytes for o in out)
+        return out if len(out) > 1 else out[0]
+
+    def count_insert(self, P: int, Vp: int):
+        # psum of (P,) int32 win counts + (P, Vp) int32 cell reshard.
+        self.collective_bytes += P * 4 + P * Vp * 4
 
 
 def densify_multihost(
@@ -155,24 +286,34 @@ def densify_multihost(
     Every process calls this with the SAME scene/config and receives the
     SAME result. `seed_points` short-circuits the seeding front-end (used
     by tests and by callers that bring their own sparse reconstruction).
+
+    Seed-stage semantics match the single-host `densify` exactly:
+    create patches -> NCC filter -> compact -> optimize (pipeline.py
+    seed_filter/seed_optimize stages), so `--distributed` on one device
+    produces the same cloud as the default path.
     """
     if mesh is None:
         mesh = global_mesh()
     metrics = StageMetrics()
     cameras = scene.cameras
     n_dev = mesh.devices.size
+    rt = config.runtime
     log.info(
         "multihost densify: %d devices over %d processes",
         n_dev,
         jax.process_count(),
     )
-    images_rep = _put_replicated(jnp.asarray(scene.images), mesh)
-    cams_rep = _put_replicated(cameras, mesh)
+    rep = replicate(mesh)
+    images_rep = jax.device_put(jnp.asarray(scene.images), rep)
+    cams_rep = jax.tree.map(
+        lambda a: jax.device_put(jnp.asarray(a), rep), cameras
+    )
 
     with metrics.stage("seed"):
         if seed_points is None:
             points, obs, obs_mask = generate_seed_points(
-                jnp.asarray(scene.images), cameras, config.matching
+                jnp.asarray(scene.images), cameras, config.matching,
+                mesh=mesh,
             )
             if config.ba.enable and len(points) >= 8:
                 from densepoints_tpu.pmvs.pipeline import _bundle_adjust
@@ -180,31 +321,23 @@ def densify_multihost(
                 cameras, points, rmse = _bundle_adjust(
                     cameras, points, obs, obs_mask, config.ba, mesh=mesh
                 )
-                cams_rep = _put_replicated(cameras, mesh)
+                cams_rep = jax.tree.map(
+                    lambda a: jax.device_put(jnp.asarray(a), rep), cameras
+                )
                 metrics.count("ba_rmse_px", rmse)
         else:
             points = seed_points
-        state = _host_state(
+        state_host = jax.tree.map(
+            np.asarray,
             create_patches_from_points(
                 cameras, points, config.optimize, config.seed
-            )
+            ),
         )
 
-    with metrics.stage("seed_refine"):
-        refined = _refine_replicated(
-            mesh, images_rep, cams_rep, state,
-            config.seed.texture_size, config.optimize,
-        )
-        state = _host_compact(_host_state(refined))
-    metrics.count("seeds_after_refine", state.position.shape[0])
-    log.info("multihost: %d seeds after refine", state.position.shape[0])
-
-    # View-sharded occupancy: spec grids (replicated, never written) give
-    # the candidate-cell layout; the padded cells array is the sharded
-    # occupancy state.
     scale = config.organizer.grid_scale
-    min_grids = config.organizer.min_grids_to_accept
-    spec = make_grids(cameras, scale)
+    spec = make_grids(
+        cameras, scale, config.organizer.max_patches_per_cell
+    )
     V = spec.cells.shape[0]
     gpad = pad_views(spec, n_dev)
     Vp = gpad.cells.shape[0]
@@ -214,81 +347,103 @@ def densify_multihost(
             gpad.cells, NamedSharding(mesh, P(PATCH_AXIS))
         ),
     )
+    ops = _ShardedOps(mesh, cams_rep, images_rep, config, spec, Vp)
 
-    def _insert(st: PatchState, gpad, gids):
-        cells = candidate_cells(
-            spec, cams_rep, jnp.asarray(st.position), jnp.asarray(st.vis),
-            scale,
+    with metrics.stage("seed_refine"):
+        # Single-host seed semantics: NCC filter -> compact -> optimize.
+        state = ops.place(state_host)
+        state = ops.seed_filter(
+            images_rep, cams_rep, state, config.seed.texture_size,
+            config.optimize,
         )
-        cells_pad = jnp.pad(
-            cells, ((0, 0), (0, Vp - V)), constant_values=-1
-        )
-        accepted, new_grids = viewsharded_insert(
-            mesh, gpad, cells_pad, jnp.asarray(st.alive),
-            jnp.asarray(gids), min_grids,
-        )
-        return np.asarray(accepted), new_grids
+        alive, _ = ops.small(state)
+        state = ops.compact_to(state, np.asarray(alive))
+        n_seeds = int(np.sum(np.asarray(alive)))
+        if n_seeds:
+            state = ops.seed_optimize(
+                images_rep, cams_rep, state, config.seed.texture_size,
+                config.optimize,
+            )
+    metrics.count("seeds_after_refine", n_seeds)
+    log.info("multihost: %d seeds after refine", n_seeds)
+    if rt.checkpoint_dir and jax.process_index() == 0:
+        from densepoints_tpu.utils.checkpoint import save_checkpoint
 
-    ids0 = np.arange(state.position.shape[0], dtype=np.int32)
-    accepted, gpad = _insert(state, gpad, ids0)
-    state = _host_compact(
-        dataclasses.replace(state, alive=state.alive & accepted)
-    )
+        save_checkpoint(
+            f"{rt.checkpoint_dir}/seeds_optimized.npz",
+            _replicated_host_state(ops, state),
+            stage="seeds_optimized",
+            cameras=cameras,
+        )
+
+    overhead = _Overhead()
+    ids0 = np.arange(state.capacity, dtype=np.int32)
+    accepted, gpad = ops.insert(gpad, state, ids0)
+    overhead.count_insert(state.capacity, Vp)
+    alive, nvis = ops.small(state)
+    accepted, alive, nvis = overhead.pull(accepted, alive, nvis)
+    keep = alive & accepted
+    state = ops.compact_to(state, keep)
+    total = int(np.sum(keep))
+    log.info("multihost: %d seeds inserted", total)
+
+    # state/frontier stay device-sharded; parts accumulate per-round
+    # accepted patches (concatenated once at the end).
+    parts = [state]
     frontier = state
-    log.info("multihost: %d seeds inserted", state.position.shape[0])
+    f_alive, f_nvis = overhead.pull(*ops.small(frontier))
 
     with metrics.stage("expand"):
         for round_idx in range(config.expand.max_rounds):
-            total = state.position.shape[0]
-            if (
-                frontier.position.shape[0] == 0
-                or total >= config.expand.max_patches
-            ):
+            if total >= config.expand.max_patches:
                 break
-            expandable = frontier.alive & (
-                np.sum(frontier.vis, axis=1)
-                >= config.expand.min_visible_views_to_expand
+            expandable = f_alive & (
+                f_nvis >= config.expand.min_visible_views_to_expand
             )
-            frontier = _host_compact(
-                dataclasses.replace(frontier, alive=expandable)
-            )
-            if frontier.position.shape[0] == 0:
+            n_front = int(np.sum(expandable))
+            if n_front == 0:
                 break
-            cand = _host_state(
-                make_expansion_candidates(cameras, frontier, scale)
-            )
-            cand_refined = _refine_replicated(
-                mesh, images_rep, cams_rep, cand,
+            frontier = ops.compact_to(frontier, expandable)
+            cand = ops.candidates(cams_rep, frontier)
+            cand = ops.refine(
+                images_rep, cams_rep, cand,
                 config.expand.texture_size, config.optimize,
             )
-            cand = _host_state(cand_refined)
-            gids = total + np.arange(cand.position.shape[0], dtype=np.int32)
-            accepted, gpad = _insert(cand, gpad, gids)
-            new_patches = _host_compact(
-                dataclasses.replace(cand, alive=cand.alive & accepted)
-            )
-            n_new = new_patches.position.shape[0]
+            gids = total + np.arange(cand.capacity, dtype=np.int32)
+            accepted, gpad = ops.insert(gpad, cand, gids)
+            overhead.count_insert(cand.capacity, Vp)
+            c_alive, c_nv = ops.small(cand)
+            accepted, c_alive = overhead.pull(accepted, c_alive)
+            new_keep = c_alive & accepted
+            n_new = int(np.sum(new_keep))
             log.info(
                 "multihost round %d: frontier=%d accepted=%d total=%d",
                 round_idx,
-                frontier.position.shape[0],
+                n_front,
                 n_new,
                 total + n_new,
             )
             if n_new == 0:
                 break
-            state = jax.tree.map(
-                lambda a, b: np.concatenate([a, b], axis=0),
-                state,
-                new_patches,
-            )
+            new_patches = ops.compact_to(cand, new_keep)
+            parts.append(new_patches)
+            total += n_new
             frontier = new_patches
-    metrics.count("patches_after_expand", state.position.shape[0])
+            f_alive, f_nvis = overhead.pull(*ops.small(frontier))
+    metrics.count("patches_after_expand", total)
+    metrics.count("overhead_host_bytes", overhead.host_bytes)
+    metrics.count("overhead_host_sync_s", round(overhead.host_sync_s, 4))
+    metrics.count("overhead_collective_bytes", overhead.collective_bytes)
+
+    full = parts[0] if len(parts) == 1 else ops.concat(parts)
 
     with metrics.stage("filter"):
+        # The one full gather of the run: filtering/compaction/export need
+        # host-addressable arrays.
+        host_state = _replicated_host_state(ops, full)
         final = run_filters(
             cameras,
-            jax.tree.map(jnp.asarray, state),
+            jax.tree.map(jnp.asarray, host_state),
             config.filter,
             config.optimize,
             scale,
@@ -302,6 +457,20 @@ def densify_multihost(
                 cameras, jnp.asarray(scene.colors), final.position
             )
             final = dataclasses.replace(final, color=color)
+
+    if rt.checkpoint_dir and jax.process_index() == 0:
+        from densepoints_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            f"{rt.checkpoint_dir}/final.npz",
+            jax.tree.map(np.asarray, final),
+            stage="final",
+            cameras=cameras,
+        )
+    if rt.debug_dir and jax.process_index() == 0:
+        from densepoints_tpu.utils import debug
+
+        debug.dump_cloud(rt.debug_dir, "final", final)
 
     log.info("multihost densify done: %s", metrics.summary())
     return DensifyResult(patches=final, metrics=metrics)

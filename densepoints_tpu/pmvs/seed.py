@@ -67,29 +67,95 @@ def covisibility_pairs(cameras: Cameras, max_pairs_per_view: int) -> np.ndarray:
     return np.asarray(sorted(pairs), np.int32)
 
 
+def _viewsharded_features(mesh, images, config: MatchingConfig):
+    """Detect (and if needed describe) with each device owning a VIEW slice.
+
+    The per-view front-end is embarrassingly view-parallel; on a multi-host
+    mesh this splits detection/description work 1/n per process (SURVEY.md
+    §5.7 per-host image partitioning) instead of every process running the
+    full stack. Outputs are all-gathered to replicated afterwards — small
+    relative to images (keypoints + descriptors, one transfer per run) — so
+    the matching/track stages stay byte-identical to the single-process
+    path. Returns (xy, resp, valid, desc-or-None), replicated.
+    """
+    from jax.sharding import PartitionSpec
+    from densepoints_tpu.parallel.mesh import PATCH_AXIS, replicate
+
+    V, H, W = images.shape
+    n = mesh.devices.size
+    padV = (-V) % n
+    imgs = jnp.pad(jnp.asarray(images), ((0, padV), (0, 0), (0, 0)))
+    want_desc = config.matcher in ("hamming_knn", "hamming_absolute")
+    pattern = (
+        jnp.asarray(
+            brief_pattern(config.descriptor_bits, config.descriptor_patch_radius)
+        )
+        if want_desc
+        else None
+    )
+    shard_shapes = []  # trace-time evidence of the per-device work split
+
+    def local(im):
+        shard_shapes.append(im.shape)
+        xy, resp, valid = detect_keypoints(
+            im,
+            cell_size=config.keypoint_cell_size,
+            max_per_cell=config.max_keypoints_per_cell,
+            max_keypoints=config.max_keypoints_per_view,
+            k=config.harris_k,
+            border=config.descriptor_patch_radius + 1,
+            method=config.detector,
+            fast_threshold=config.fast_threshold,
+        )
+        if want_desc:
+            desc = compute_descriptors(im, xy, pattern)
+            return xy, resp, valid, desc
+        return xy, resp, valid
+
+    spec = PartitionSpec(PATCH_AXIS)
+    out = jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=spec, out_specs=spec),
+        out_shardings=replicate(mesh),  # the one small all-gather
+    )(imgs)
+    out = tuple(o[:V] for o in out)
+    if not want_desc:
+        out = out + (None,)
+    xy, resp, valid, desc = out
+    return xy, resp, valid, desc, shard_shapes
+
+
 def generate_seed_points(
     images: jax.Array,
     cameras: Cameras,
     config: MatchingConfig = MatchingConfig(),
     pairs: np.ndarray | None = None,
+    mesh=None,
 ):
     """Detect, match, track and triangulate -> (S, 3) seed points (host).
 
     Also returns the track masks for diagnostics: (points, obs, mask).
+    With `mesh`, the per-view detection/description front-end is sharded
+    over the mesh devices (each process computes only its view slice) and
+    the small keypoint/descriptor tensors are all-gathered; everything
+    downstream is identical.
     """
     V = cameras.num_views
     if pairs is None:
         pairs = covisibility_pairs(cameras, config.max_pairs_per_view)
-    xy, resp, valid = detect_keypoints(
-        images,
-        cell_size=config.keypoint_cell_size,
-        max_per_cell=config.max_keypoints_per_cell,
-        max_keypoints=config.max_keypoints_per_view,
-        k=config.harris_k,
-        border=config.descriptor_patch_radius + 1,
-        method=config.detector,
-        fast_threshold=config.fast_threshold,
-    )
+    desc = None
+    if mesh is not None:
+        xy, resp, valid, desc, _ = _viewsharded_features(mesh, images, config)
+    else:
+        xy, resp, valid = detect_keypoints(
+            images,
+            cell_size=config.keypoint_cell_size,
+            max_per_cell=config.max_keypoints_per_cell,
+            max_keypoints=config.max_keypoints_per_view,
+            k=config.harris_k,
+            border=config.descriptor_patch_radius + 1,
+            method=config.detector,
+            fast_threshold=config.fast_threshold,
+        )
     log.info(
         "detected keypoints per view: %s",
         np.asarray(jnp.sum(valid, axis=1)).tolist(),
@@ -102,10 +168,13 @@ def generate_seed_points(
     i2 = jnp.asarray(pairs[:, 1])
 
     if config.matcher in ("hamming_knn", "hamming_absolute"):
-        pattern = jnp.asarray(
-            brief_pattern(config.descriptor_bits, config.descriptor_patch_radius)
-        )
-        desc = compute_descriptors(images, xy, pattern)
+        if desc is None:
+            pattern = jnp.asarray(
+                brief_pattern(
+                    config.descriptor_bits, config.descriptor_patch_radius
+                )
+            )
+            desc = compute_descriptors(images, xy, pattern)
 
         def _one(F, a, b):
             if config.matcher == "hamming_knn":
