@@ -1,0 +1,184 @@
+"""DTU-scale end-to-end densification on the real TPU -> DTU_r{N}.json.
+
+The BASELINE ladder's config-3 scale (a DTU scan: 49 views, 1600x1200)
+run hermetically: a DTU-shaped synthetic — 49 cameras on a 7x7 angular
+grid 650 mm from a textured 60 mm sphere, 1600x1200 px at DTU-like focal
+length (cal18 fx ~ 2900 px) — so the artifact carries ground-truth
+accuracy/completeness (utils/metrics.py DTU protocol, mm units) alongside
+patch counts and per-stage wall time. Parity target: the full reference
+loop `methods/pmvs/pmvs.cpp:22-27` at `programs/densify/main.cpp:12-40`
+scene scale (the reference itself cannot run it: its pipeline is
+unfinished, README.md:3).
+
+Usage:  python scripts/dtu_scale_run.py [--out DTU_r03.json]
+        [--views 49] [--width 1600] [--height 1200] [--kp 4096]
+
+At this image size the image stack (49 x 1200 x 1600 x 2 phases, bf16) is
+far beyond the resident kernel's VMEM budget, so this drives the
+STREAMING warp+NCC kernel — the path real scans take.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="DTU_r03.json")
+    p.add_argument("--views", type=int, default=49)
+    p.add_argument("--width", type=int, default=1600)
+    p.add_argument("--height", type=int, default=1200)
+    p.add_argument("--kp", type=int, default=4096,
+                   help="max keypoints per view (reference ORB uses 40000)")
+    p.add_argument("--focal", type=float, default=2900.0)
+    p.add_argument("--radius", type=float, default=60.0, help="object mm")
+    p.add_argument("--cam-radius", type=float, default=650.0)
+    p.add_argument("--max-rounds", type=int, default=12)
+    p.add_argument("--nm-iters", type=int, default=120,
+                   help="Nelder-Mead iteration cap (reference cap is 500; "
+                   "the batched solver's global early exit usually fires "
+                   "far earlier — this caps worst-case wall time)")
+    p.add_argument("--threshold-mm", type=float, default=2.0)
+    args = p.parse_args(argv)
+
+    from synthetic import TexturedSphereScene
+
+    from densepoints_tpu.config import load_config
+    from densepoints_tpu.core.cameras import Cameras
+    from densepoints_tpu.io.scene import Scene
+    from densepoints_tpu.pmvs.pipeline import densify
+    from densepoints_tpu.utils.metrics import accuracy_completeness
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    scene_gen = TexturedSphereScene(
+        rng,
+        num_views=args.views,
+        width=args.width,
+        height=args.height,
+        focal=args.focal,
+        radius=args.radius,
+        cam_radius=args.cam_radius,
+        tex_size=4096,
+        layout="grid",
+        yaw_span=1.0,
+        pitch_span=0.5,
+    )
+    images = scene_gen.render_all()
+    t_render = time.perf_counter() - t0
+    print(f"rendered {args.views} views {args.width}x{args.height} "
+          f"in {t_render:.1f}s "
+          f"({images.nbytes / 1e6:.0f} MB f32)", flush=True)
+
+    cams = Cameras.from_projection_matrices(
+        scene_gen.P, widths=args.width, heights=args.height
+    )
+    scene = Scene(cameras=cams, images=images, colors=None)
+
+    config = load_config(
+        {
+            "matching": {
+                "max_keypoints_per_view": args.kp,
+                # all C(49,2)=1176 pairs is the reference default; prune to
+                # covisible neighbors at scan scale (SURVEY §2.4 pair list)
+                "max_pairs_per_view": 10,
+            },
+            "optimize": {"max_iterations": args.nm_iters},
+            "expand": {"max_rounds": args.max_rounds},
+        }
+    )
+
+    t1 = time.perf_counter()
+    result = densify(scene, config)
+    t_densify = time.perf_counter() - t1
+
+    cloud = result.positions
+    # Ground truth: uniform sphere samples inside the reconstructible set —
+    # within the 0.78 rad visible cone (patch.h:56 semantics, inward normal
+    # -p/r vs the ray from each camera) of >= min_visible_views cameras,
+    # mirroring what a surviving patch must satisfy.
+    gt_rng = np.random.default_rng(1)
+    pts = gt_rng.standard_normal((200_000, 3)).astype(np.float32)
+    pts *= args.radius / np.linalg.norm(pts, axis=1, keepdims=True)
+    n_in = -pts / args.radius
+    vis_count = np.zeros(len(pts), np.int32)
+    for C in scene_gen.C:
+        d = pts - C.astype(np.float32)
+        cosang = np.sum(d * n_in, axis=1) / np.linalg.norm(d, axis=1)
+        vis_count += (np.arccos(np.clip(cosang, -1, 1)) < 0.78)
+    gt = pts[vis_count >= 3]
+    metrics = accuracy_completeness(
+        cloud, gt, threshold=args.threshold_mm, max_dist=20.0
+    )
+    # Analytic accuracy: exact distance to the sphere, | |p| - r | — free of
+    # GT sampling density effects.
+    acc_exact = (
+        np.abs(np.linalg.norm(cloud, axis=1) - args.radius)
+        if len(cloud)
+        else np.array([np.nan])
+    )
+    print(metrics.summary(), flush=True)
+
+    patches = int(cloud.shape[0])
+    artifact = {
+        "scene": {
+            "kind": "synthetic_dtu_sphere",
+            "views": args.views,
+            "width": args.width,
+            "height": args.height,
+            "focal_px": args.focal,
+            "object_radius_mm": args.radius,
+            "camera_distance_mm": args.cam_radius,
+            "pixel_footprint_mm": args.cam_radius / args.focal,
+        },
+        "config": {
+            "max_keypoints_per_view": args.kp,
+            "max_pairs_per_view": 10,
+            "nm_iterations": args.nm_iters,
+            "expand_max_rounds": args.max_rounds,
+        },
+        "patches": patches,
+        "densify_seconds": round(t_densify, 2),
+        "patches_per_sec_end_to_end": round(patches / t_densify, 1),
+        "stage_seconds": {
+            k: round(v, 2) for k, v in result.metrics.times.items()
+        },
+        "counters": {
+            k: float(v) for k, v in result.metrics.counters.items()
+        },
+        "quality_mm": {
+            "threshold_mm": args.threshold_mm,
+            "accuracy_mean": round(metrics.accuracy_mean, 4),
+            "accuracy_median": round(metrics.accuracy_median, 4),
+            "completeness_mean": round(metrics.completeness_mean, 4),
+            "completeness_median": round(metrics.completeness_median, 4),
+            "accuracy_frac_under": round(metrics.accuracy_frac_under, 4),
+            "completeness_frac_under": round(
+                metrics.completeness_frac_under, 4
+            ),
+            "accuracy_exact_mean": round(float(np.mean(acc_exact)), 4),
+            "accuracy_exact_median": round(
+                float(np.median(acc_exact)), 4
+            ),
+        },
+    }
+    import jax
+
+    artifact["device"] = str(jax.devices()[0].device_kind)
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps(artifact), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

