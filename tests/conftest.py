@@ -25,6 +25,20 @@ import jax
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: recompiles dominate the suite's wall
+    # time (~650 s cold). XLA:CPU only persists its kernels when the
+    # xla-caches knob is on; warm runs then skip most compile work.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/densepoints_jax_cache"
+        ),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    try:
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    except Exception:  # older jax without the knob
+        pass
 
 import numpy as np
 import pytest
