@@ -89,6 +89,104 @@ def main():
     elapsed = time.perf_counter() - start
 
     pps = num_patches * reps / elapsed
+
+    # --- kernel roofline fraction (VERDICT r2 task 4) -------------------
+    # Time the fused kernel alone at the refine shape and compare against
+    # the analytic issue bounds (same model as scripts/kernel_roofline.py:
+    # MXU = one-hot gather matmuls at 197 TFLOP/s bf16; the VPU estimate
+    # covers the hat builds/blends the matmuls depend on).
+    from densepoints_tpu.ops.warp_ncc import WIN_H, WIN_W, warp_ncc_scores
+
+    M = 8
+    S = -(-(texture_size * texture_size) // 128) * 128
+    images2 = jnp.concatenate(
+        [images, jnp.pad(images[:, :, 64:], ((0, 0), (0, 0), (0, 64)))],
+        axis=0,
+    )
+    kr = np.random.default_rng(1)
+    y0 = jnp.asarray(kr.integers(0, (H - WIN_H) // 8,
+                                 (num_patches, M)).astype(np.int32) * 8)
+    m64 = kr.integers(0, (W - WIN_W) // 64, (num_patches, M)).astype(np.int32)
+    x0 = jnp.asarray(64 * (m64 - m64 % 2))
+    views = jnp.asarray(
+        kr.integers(0, num_views, (num_patches, M)).astype(np.int32)
+        + (m64 % 2) * num_views
+    )
+    coords = jnp.asarray(
+        kr.uniform(10, 40, (num_patches, M, 2, S)).astype(np.float32)
+    )
+
+    def kbody(coords, seed):
+        def body(i, acc):
+            c = coords + (seed + i.astype(jnp.float32)) * 1e-3
+            out = warp_ncc_scores(
+                images2, y0, x0, views, c, texture_size * texture_size
+            )
+            return acc + jnp.sum(out) * 1e-6
+        return jax.lax.fori_loop(0, 20, body, 0.0)
+
+    kfn = jax.jit(kbody)
+    float(kfn(coords, 0.0))
+    t = time.perf_counter()
+    float(kfn(coords, 1.0))
+    kdt = (time.perf_counter() - t) / 20
+    flops = num_patches * M * 2 * (2 * WIN_H * WIN_W * S)
+    t_mxu = flops / 197e12
+    vpu_ops = num_patches * (
+        8 * M * S * WIN_W + 4 * WIN_H * M * S + M * 5 * WIN_H * S
+        + 10 * M * S
+    )
+    t_vpu = vpu_ops / 4e12
+
+    # --- end-to-end densify throughput (VERDICT r2 weak #5) -------------
+    # Seeded textured plane through refine -> expand -> insert -> filter
+    # (detection skipped: seed_points injected, keeping the bench bounded;
+    # the kernel path above is the same one seeding exercises).
+    import pathlib
+    import sys as _sys
+
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "tests"))
+    from synthetic import TexturedPlaneScene
+
+    from densepoints_tpu.config import load_config
+    from densepoints_tpu.io.scene import Scene
+
+    sc = TexturedPlaneScene(rng, num_views=5, width=320, height=240)
+    dcams = Cameras.from_projection_matrices(
+        sc.P, widths=sc.width, heights=sc.height
+    )
+    dscene = Scene(cameras=dcams, images=sc.render_all(), colors=None)
+    g = np.linspace(-0.6, 0.6, 32)
+    gx, gy = np.meshgrid(g, g)
+    seeds = np.stack(
+        [gx.ravel(), gy.ravel(), np.zeros(gx.size)], 1
+    ).astype(np.float32)
+    dcfg = load_config(
+        {"expand": {"max_rounds": 3}, "optimize": {"max_iterations": 60}}
+    )
+    from densepoints_tpu.pmvs.pipeline import _densify_from
+    from densepoints_tpu.pmvs.seed import create_patches_from_points
+    from densepoints_tpu.pmvs.optimize import (
+        filter_by_error,
+        optimize_patches,
+    )
+    from densepoints_tpu.utils import StageMetrics
+
+    t = time.perf_counter()
+    dimages = jnp.asarray(dscene.images)
+    st = create_patches_from_points(dcams, seeds, dcfg.optimize, dcfg.seed)
+    st = filter_by_error(
+        dimages, dcams, st, dcfg.seed.texture_size, dcfg.optimize
+    ).compact()
+    st = optimize_patches(
+        dimages, dcams, st, dcfg.seed.texture_size, dcfg.optimize
+    )
+    result = _densify_from(
+        dimages, dcams, dscene, dcfg, StageMetrics(), st, "seeds_optimized"
+    )
+    ddt = time.perf_counter() - t
+    n_final = result.patches.capacity
+
     print(
         json.dumps(
             {
@@ -96,6 +194,16 @@ def main():
                 "value": round(pps, 1),
                 "unit": "patches/s",
                 "vs_baseline": round(pps / NOMINAL_BASELINE_PATCHES_PER_SEC, 3),
+                "kernel_ms_per_call": round(kdt * 1e3, 3),
+                "kernel_bound_ms": {
+                    "mxu": round(t_mxu * 1e3, 3),
+                    "vpu_model": round(t_vpu * 1e3, 3),
+                },
+                "fraction_of_roofline": round(t_mxu / kdt, 3),
+                "fraction_of_compute_bound": round((t_mxu + t_vpu) / kdt, 3),
+                "densify_seconds": round(ddt, 2),
+                "densify_patches_final": n_final,
+                "densify_patches_per_sec": round(n_final / ddt, 1),
             }
         )
     )

@@ -92,7 +92,8 @@ def filter_weak_support(
     bidx = jnp.arange(B)
     ref_cell = cells[state.ref, bidx]  # (B,)
     ref_depth = depth[state.ref, bidx]
-    ref_ok = ok[state.ref, bidx] & state.alive
+    ref_proj_ok = ok[state.ref, bidx]  # in ref bounds, positive depth
+    ref_ok = ref_proj_ok & state.alive
 
     # Min-depth grid over reference-view projections only.
     safe = jnp.where(ref_ok, ref_cell, n_cells)
@@ -117,7 +118,12 @@ def filter_weak_support(
             tol = depth_consistency * ref_depth
             agree = (lo <= ref_depth + tol) & (hi >= ref_depth - tol)
             support = support + (agree & jnp.isfinite(lo)).astype(jnp.int32)
-    alive = state.alive & (~ref_ok | (support >= min_support_cells))
+    # A patch whose REFERENCE-view projection is invalid (outside bounds or
+    # behind the camera) has no cell to be supported in — and no anchor
+    # texture either — so it dies rather than bypassing the filter (a
+    # floater behind its own reference camera was unfilterable before,
+    # VERDICT r2 weak #8).
+    alive = state.alive & ref_proj_ok & (support >= min_support_cells)
     return dataclasses.replace(state, alive=alive)
 
 

@@ -124,6 +124,35 @@ def _viewsharded_features(mesh, images, config: MatchingConfig):
     return xy, resp, valid, desc, shard_shapes
 
 
+_PAIR_CHUNK = 32
+
+
+def _chunked_pair_map(fn, F_dev, i1, i2):
+    """vmap `fn` over view pairs in fixed-size chunks.
+
+    A flat vmap over all pairs materializes every pair's (N, N) distance
+    matrix at once — ~19 GB for a DTU scan's ~285 pruned pairs at N=4096
+    keypoints, over HBM. Chunks of `_PAIR_CHUNK` pairs bound peak memory
+    (~2 GB at N=4096) while keeping each dispatch one fixed compiled
+    shape (the tail chunk is padded with pair 0 and sliced off).
+    """
+    P = F_dev.shape[0]
+    C = _PAIR_CHUNK
+    if P <= C:
+        return jax.vmap(fn)(F_dev, i1, i2)
+    Pp = -(-P // C) * C
+    padp = lambda a: jnp.concatenate(
+        [a, jnp.broadcast_to(a[:1], (Pp - P,) + a.shape[1:])], axis=0
+    )
+    Fp, i1p, i2p = padp(F_dev), padp(i1), padp(i2)
+    vfn = jax.jit(jax.vmap(fn))
+    outs = [
+        vfn(Fp[c : c + C], i1p[c : c + C], i2p[c : c + C])
+        for c in range(0, Pp, C)
+    ]
+    return jnp.concatenate(outs, axis=0)[:P]
+
+
 def generate_seed_points(
     images: jax.Array,
     cameras: Cameras,
@@ -192,7 +221,7 @@ def generate_seed_points(
                 F, xy[a], xy[b], m, config.max_epipolar_distance
             )
 
-        matches = jax.vmap(_one)(F_dev, i1, i2)
+        matches = _chunked_pair_map(_one, F_dev, i1, i2)
     elif config.matcher == "epipolar":
 
         def _one(F, a, b):
@@ -201,7 +230,7 @@ def generate_seed_points(
             )
             return m
 
-        matches = jax.vmap(_one)(F_dev, i1, i2)
+        matches = _chunked_pair_map(_one, F_dev, i1, i2)
     elif config.matcher == "epipolar_all":
         # Reference semantics (matcher.cpp:267-317): EVERY pair within the
         # threshold matches (capped at epipolar_topk partners/keypoint),
@@ -213,7 +242,7 @@ def generate_seed_points(
             )
             return m
 
-        matches = jax.vmap(_one)(F_dev, i1, i2)  # (P, N, K)
+        matches = _chunked_pair_map(_one, F_dev, i1, i2)  # (P, N, K)
         n_matches = np.asarray(jnp.sum(matches >= 0, axis=(1, 2)))
         log.info("matches per pair (all-pairs): %s", n_matches.tolist())
         obs, mask, _ = build_tracks_onehop(

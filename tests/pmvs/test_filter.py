@@ -59,3 +59,20 @@ def test_weak_support_filter(rng):
     alive = np.asarray(out.alive)
     assert alive[:16].mean() > 0.8, "cluster patches should support each other"
     assert not alive[16], "isolated floater should die"
+
+
+def test_weak_support_kills_invalid_ref_projection(rng):
+    """A patch whose reference-view projection is invalid (e.g. BEHIND the
+    reference camera) must die — it has no support cell and no anchor
+    texture, so letting it bypass the filter left it unfilterable
+    (VERDICT r2 weak #8)."""
+    cams = _cams(rng)
+    C0 = np.asarray(cams.C)[0]
+    # Cluster on the plane (supported) + a point behind camera 0.
+    cluster = [[x * 0.05, y * 0.05, 0.0] for x in range(3) for y in range(3)]
+    behind = (C0 + (C0 - np.zeros(3)) * 0.5).tolist()  # past the camera
+    state = _patches(cams, cluster + [behind])
+    out = filter_weak_support(cams, state, depth_consistency=0.05)
+    alive = np.asarray(out.alive)
+    assert alive[:9].mean() > 0.8
+    assert not alive[9], "invalid-ref-projection patch must not survive"
