@@ -148,7 +148,21 @@ class _ShardedOps:
         )
 
         def _take(st, idx, valid):
+            # Pad lanes are ZEROED, not left as copies of the gathered
+            # fill index: the batched Nelder-Mead's global early exit
+            # couples every lane's iteration count to the whole batch, so
+            # pad content must be bit-identical regardless of which code
+            # path produced the state (fresh run vs checkpoint resume) —
+            # zeros match the single-host _pad_bucket convention.
             out = jax.tree.map(lambda a: a[idx], st)
+            out = jax.tree.map(
+                lambda a: jnp.where(
+                    valid.reshape((-1,) + (1,) * (a.ndim - 1)),
+                    a,
+                    jnp.zeros_like(a),
+                ),
+                out,
+            )
             return dataclasses.replace(out, alive=out.alive & valid)
 
         self.take = jax.jit(_take, out_shardings=self.shard)
@@ -303,36 +317,66 @@ def densify_multihost(
         n_dev,
         jax.process_count(),
     )
+    # Elastic resume (SURVEY.md §5.3): a job that lost (or gained) hosts
+    # restarts with the new process count and resumes from the latest
+    # stage checkpoint — the sharded program is process-count agnostic, so
+    # the same checkpoint serves any mesh size.
+    resume_state = resume_stage = None
+    if rt.resume and rt.checkpoint_dir:
+        from densepoints_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        ckpt = latest_checkpoint(rt.checkpoint_dir)
+        if ckpt is not None:
+            resume_state, meta, ckpt_cams = load_checkpoint(ckpt)
+            resume_stage = meta.get("stage")
+            if ckpt_cams is not None:
+                cameras = ckpt_cams
+            log.info(
+                "multihost: resuming from %s (stage %s)", ckpt, resume_stage
+            )
+
     rep = replicate(mesh)
     images_rep = jax.device_put(jnp.asarray(scene.images), rep)
     cams_rep = jax.tree.map(
         lambda a: jax.device_put(jnp.asarray(a), rep), cameras
     )
 
-    with metrics.stage("seed"):
-        if seed_points is None:
-            points, obs, obs_mask = generate_seed_points(
-                jnp.asarray(scene.images), cameras, config.matching,
-                mesh=mesh,
-            )
-            if config.ba.enable and len(points) >= 8:
-                from densepoints_tpu.pmvs.pipeline import _bundle_adjust
+    if resume_stage == "final":
+        final = jax.tree.map(jnp.asarray, resume_state)
+        log.info("multihost: checkpoint already final (%d patches)",
+                 final.capacity)
+        return DensifyResult(patches=final, metrics=metrics)
 
-                cameras, points, rmse = _bundle_adjust(
-                    cameras, points, obs, obs_mask, config.ba, mesh=mesh
-                )
-                cams_rep = jax.tree.map(
-                    lambda a: jax.device_put(jnp.asarray(a), rep), cameras
-                )
-                metrics.count("ba_rmse_px", rmse)
+    with metrics.stage("seed"):
+        if resume_state is not None:
+            state_host = jax.tree.map(np.asarray, resume_state)
         else:
-            points = seed_points
-        state_host = jax.tree.map(
-            np.asarray,
-            create_patches_from_points(
-                cameras, points, config.optimize, config.seed
-            ),
-        )
+            if seed_points is None:
+                points, obs, obs_mask = generate_seed_points(
+                    jnp.asarray(scene.images), cameras, config.matching,
+                    mesh=mesh,
+                )
+                if config.ba.enable and len(points) >= 8:
+                    from densepoints_tpu.pmvs.pipeline import _bundle_adjust
+
+                    cameras, points, rmse = _bundle_adjust(
+                        cameras, points, obs, obs_mask, config.ba, mesh=mesh
+                    )
+                    cams_rep = jax.tree.map(
+                        lambda a: jax.device_put(jnp.asarray(a), rep), cameras
+                    )
+                    metrics.count("ba_rmse_px", rmse)
+            else:
+                points = seed_points
+            state_host = jax.tree.map(
+                np.asarray,
+                create_patches_from_points(
+                    cameras, points, config.optimize, config.seed
+                ),
+            )
 
     scale = config.organizer.grid_scale
     spec = make_grids(
@@ -350,20 +394,26 @@ def densify_multihost(
     ops = _ShardedOps(mesh, cams_rep, images_rep, config, spec, Vp)
 
     with metrics.stage("seed_refine"):
-        # Single-host seed semantics: NCC filter -> compact -> optimize.
         state = ops.place(state_host)
-        state = ops.seed_filter(
-            images_rep, cams_rep, state, config.seed.texture_size,
-            config.optimize,
-        )
-        alive, _ = ops.small(state)
-        state = ops.compact_to(state, np.asarray(alive))
-        n_seeds = int(np.sum(np.asarray(alive)))
-        if n_seeds:
-            state = ops.seed_optimize(
+        if resume_stage == "seeds_optimized":
+            # Checkpoint is already filtered + optimized.
+            alive, _ = ops.small(state)
+            state = ops.compact_to(state, np.asarray(alive))
+            n_seeds = int(np.sum(np.asarray(alive)))
+        else:
+            # Single-host seed semantics: NCC filter -> compact -> optimize.
+            state = ops.seed_filter(
                 images_rep, cams_rep, state, config.seed.texture_size,
                 config.optimize,
             )
+            alive, _ = ops.small(state)
+            state = ops.compact_to(state, np.asarray(alive))
+            n_seeds = int(np.sum(np.asarray(alive)))
+            if n_seeds:
+                state = ops.seed_optimize(
+                    images_rep, cams_rep, state, config.seed.texture_size,
+                    config.optimize,
+                )
     metrics.count("seeds_after_refine", n_seeds)
     log.info("multihost: %d seeds after refine", n_seeds)
     if rt.checkpoint_dir and jax.process_index() == 0:

@@ -39,7 +39,15 @@ def save_checkpoint(
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
     if cameras is not None:
-        arrays["__cam_P__"] = np.asarray(cameras.P, np.float64)
+        # Save EVERY derived field, not just P: rebuilding K/R/C from P via
+        # RQ decomposition on load is a ulp-level round-trip that breaks
+        # bitwise resume determinism (the batched NM amplifies camera-frame
+        # ulps into diverging patch poses).
+        arrays["__cam_P__"] = np.asarray(cameras.P)
+        arrays["__cam_K__"] = np.asarray(cameras.K)
+        arrays["__cam_E__"] = np.asarray(cameras.E)
+        arrays["__cam_C__"] = np.asarray(cameras.C)
+        arrays["__cam_x__"] = np.asarray(cameras.x_axis)
         arrays["__cam_w__"] = np.asarray(cameras.width)
         arrays["__cam_h__"] = np.asarray(cameras.height)
     meta = {"stage": stage, "capacity": state.capacity}
@@ -58,7 +66,17 @@ def load_checkpoint(path):
             **{f: jnp.asarray(data[f]) for f in _FIELDS}
         )
         cameras = None
-        if "__cam_P__" in data:
+        if "__cam_K__" in data:  # bit-faithful restore of derived fields
+            cameras = Cameras(
+                P=jnp.asarray(data["__cam_P__"]),
+                K=jnp.asarray(data["__cam_K__"]),
+                E=jnp.asarray(data["__cam_E__"]),
+                C=jnp.asarray(data["__cam_C__"]),
+                x_axis=jnp.asarray(data["__cam_x__"]),
+                width=jnp.asarray(data["__cam_w__"]),
+                height=jnp.asarray(data["__cam_h__"]),
+            )
+        elif "__cam_P__" in data:  # older checkpoints: re-derive from P
             cameras = Cameras.from_projection_matrices(
                 data["__cam_P__"],
                 widths=data["__cam_w__"],
