@@ -76,6 +76,10 @@ class OptimizeConfig:
     init_step_angle: float = 0.2  # (optimization_opencv.cpp:59)
     max_score_views: int = 16  # visible views are compacted to this many
     # slots for texture scoring; work scales with M, not scene size V
+    max_refine_batch: int = 8192  # optimize/filter process at most this
+    # many patches per device dispatch (the NM init evaluates 4 simplex
+    # points per patch, so coordinate tensors scale with 4*B*M*k^2 —
+    # unsliced 16k-patch batches exceed HBM at DTU view counts)
     sampling_impl: str = "auto"  # auto | fused | xla: fused = Pallas
     # DMA+MXU warp+NCC kernel (auto picks it on TPU; ~6x the XLA path)
     visible_angle: float = 0.78  # rad, truly-visible cone (patch.h:56)

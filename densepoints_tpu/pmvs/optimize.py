@@ -246,8 +246,55 @@ def _anchor_chunks(vis: jax.Array, max_views: int):
     return chunks
 
 
-@functools.partial(jax.jit, static_argnames=("texture_size", "config"))
+def _sliced(fn_jit, images, cameras, state, texture_size, config):
+    """Run a jitted per-patch stage over `max_refine_batch` slices.
+
+    The slicing lives OUTSIDE jit on purpose: inside one XLA program the
+    scheduler may keep independent slices' buffers live simultaneously,
+    which defeats the point (the 16k-candidate DTU expansion round peaked
+    at 16.8 GB > HBM unsliced). Host dispatch per slice is negligible at
+    these batch sizes. Slices are padded to one fixed shape so every
+    dispatch hits the same compiled program.
+    """
+    B = state.capacity
+    mb = config.max_refine_batch
+    if mb <= 0 or B <= mb:
+        return fn_jit(images, cameras, state, texture_size, config)
+    outs = []
+    for lo in range(0, B, mb):
+        sl = jax.tree.map(lambda a: a[lo : lo + mb], state)
+        pad = mb - sl.capacity
+        if pad:
+            sl = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                ),
+                sl,
+            )
+        outs.append(fn_jit(images, cameras, sl, texture_size, config))
+    full = jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=0), *outs)
+    return jax.tree.map(lambda a: a[:B], full)
+
+
 def filter_by_error(
+    images: jax.Array,
+    cameras: Cameras,
+    state: PatchState,
+    texture_size: int,
+    config: OptimizeConfig = OptimizeConfig(),
+) -> PatchState:
+    """NCC visibility pruning + patch rejection (optimization.cpp:98-132).
+
+    Processes at most `config.max_refine_batch` patches per dispatch (see
+    `_sliced`).
+    """
+    return _sliced(
+        _filter_by_error_jit, images, cameras, state, texture_size, config
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("texture_size", "config"))
+def _filter_by_error_jit(
     images: jax.Array,
     cameras: Cameras,
     state: PatchState,
@@ -300,8 +347,27 @@ def filter_by_error(
     return dataclasses.replace(state, vis=new_vis, alive=alive)
 
 
-@functools.partial(jax.jit, static_argnames=("texture_size", "config"))
 def optimize_patches(
+    images: jax.Array,
+    cameras: Cameras,
+    state: PatchState,
+    texture_size: int,
+    config: OptimizeConfig = OptimizeConfig(),
+) -> PatchState:
+    """Batched (depth, roll, pitch) refinement of every patch.
+
+    Processes at most `config.max_refine_batch` patches per dispatch (see
+    `_sliced`). NOTE: slicing changes the batch each NM global-early-exit
+    couples over, so results can differ (both validly converged) from an
+    unsliced run at different `max_refine_batch`.
+    """
+    return _sliced(
+        _optimize_patches_jit, images, cameras, state, texture_size, config
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("texture_size", "config"))
+def _optimize_patches_jit(
     images: jax.Array,
     cameras: Cameras,
     state: PatchState,

@@ -84,6 +84,9 @@ def main(argv=None) -> int:
     )
     scene = Scene(cameras=cams, images=images, colors=None)
 
+    ckpt_dir = (
+        f"/tmp/dtu_ckpt_{args.views}x{args.width}x{args.height}_kp{args.kp}"
+    )
     config = load_config(
         {
             "matching": {
@@ -94,6 +97,9 @@ def main(argv=None) -> int:
             },
             "optimize": {"max_iterations": args.nm_iters},
             "expand": {"max_rounds": args.max_rounds},
+            # Stage checkpoints: a crashed/tuned rerun resumes past the
+            # (tunnel-compile-dominated) seed stage.
+            "runtime": {"checkpoint_dir": ckpt_dir, "resume": True},
         }
     )
 

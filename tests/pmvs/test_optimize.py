@@ -173,3 +173,21 @@ def test_filter_chunks_score_all_views(rng):
     np.testing.assert_array_equal(
         np.asarray(chunked.alive), np.asarray(full.alive)
     )
+
+
+def test_sliced_filter_matches_unsliced(rng):
+    """max_refine_batch slicing (the DTU 16.8 GB OOM fix) must not change
+    filter decisions: filter_by_error has no cross-patch coupling."""
+    scene, cams, images = _setup(rng)
+    pts = rng.uniform(-0.5, 0.5, (10, 2))
+    state = _plane_patches(scene, cams, pts)
+    full = filter_by_error(
+        images, cams, state, 11, OptimizeConfig(max_refine_batch=0)
+    )
+    sliced = filter_by_error(
+        images, cams, state, 11, OptimizeConfig(max_refine_batch=4)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sliced.alive), np.asarray(full.alive)
+    )
+    np.testing.assert_array_equal(np.asarray(sliced.vis), np.asarray(full.vis))
