@@ -172,19 +172,28 @@ def main():
     )
     from densepoints_tpu.utils import StageMetrics
 
-    t = time.perf_counter()
-    dimages = jnp.asarray(dscene.images)
-    st = create_patches_from_points(dcams, seeds, dcfg.optimize, dcfg.seed)
-    st = filter_by_error(
-        dimages, dcams, st, dcfg.seed.texture_size, dcfg.optimize
-    ).compact()
-    st = optimize_patches(
-        dimages, dcams, st, dcfg.seed.texture_size, dcfg.optimize
-    )
-    result = _densify_from(
-        dimages, dcams, dscene, dcfg, StageMetrics(), st, "seeds_optimized"
-    )
-    ddt = time.perf_counter() - t
+    def one_densify(jitter):
+        # Per-run input perturbation: the remote tunnel memoizes identical
+        # dispatches, so a byte-identical warm run would be free.
+        t = time.perf_counter()
+        dimages = jnp.asarray(dscene.images)
+        st = create_patches_from_points(
+            dcams, seeds + jitter, dcfg.optimize, dcfg.seed
+        )
+        st = filter_by_error(
+            dimages, dcams, st, dcfg.seed.texture_size, dcfg.optimize
+        ).compact()
+        st = optimize_patches(
+            dimages, dcams, st, dcfg.seed.texture_size, dcfg.optimize
+        )
+        result = _densify_from(
+            dimages, dcams, dscene, dcfg, StageMetrics(), st,
+            "seeds_optimized",
+        )
+        return result, time.perf_counter() - t
+
+    result, ddt_cold = one_densify(0.0)  # includes all stage compiles
+    result, ddt = one_densify(1e-4)  # warm: the actual throughput number
     n_final = result.patches.capacity
 
     print(
@@ -202,6 +211,7 @@ def main():
                 "fraction_of_roofline": round(t_mxu / kdt, 3),
                 "fraction_of_compute_bound": round((t_mxu + t_vpu) / kdt, 3),
                 "densify_seconds": round(ddt, 2),
+                "densify_cold_seconds": round(ddt_cold, 2),
                 "densify_patches_final": n_final,
                 "densify_patches_per_sec": round(n_final / ddt, 1),
             }

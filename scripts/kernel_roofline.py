@@ -153,9 +153,12 @@ def main(argv=None) -> int:
 
     import jax
 
+    # DTU shape uses B=1024: per-slot cost is B-independent (the grid just
+    # runs more steps), and the B=4096 variant hit a pathological
+    # multi-minute remote-compile through the tunnel.
     shapes = [
         bench_shape("bench_resident", 8, 480, 640, 4096, 8, 11, args.reps),
-        bench_shape("dtu_streaming", 49, 1200, 1600, 4096, 16, 11, args.reps),
+        bench_shape("dtu_streaming", 49, 1200, 1600, 1024, 16, 11, args.reps),
     ]
     artifact = {
         "device": str(jax.devices()[0].device_kind),
