@@ -144,6 +144,10 @@ class SurfaceConfig:
     enable: bool = False
     voxel_resolution: int = 128
     truncation_voxels: float = 3.0
+    min_weight: float = 0.0  # voxels with accumulated splat weight below
+    # this are treated as unobserved — a density filter that stops
+    # isolated floaters from meshing into blobs (DTU-scale clouds: ~2-4;
+    # 0 keeps every touched voxel, right for sparse/toy clouds)
 
 
 @dataclasses.dataclass(frozen=True)
