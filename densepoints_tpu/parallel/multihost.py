@@ -48,7 +48,6 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from densepoints_tpu.config import PipelineConfig
-from densepoints_tpu.core.cameras import Cameras
 from densepoints_tpu.parallel.distributed import (
     pad_views,
     refine_step_impl,

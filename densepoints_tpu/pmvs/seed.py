@@ -10,8 +10,6 @@ host (integer union-find).
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

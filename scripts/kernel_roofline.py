@@ -70,7 +70,7 @@ def _measure(images2, y0, x0, views, coords, k, reps, resident):
     return (time.perf_counter() - t) / reps
 
 
-def bench_shape(name, num_views, H, W, B, M, k, reps):
+def bench_shape(name, num_views, H, W, B, M, k, reps, force_streaming=False):
     import jax.numpy as jnp
 
     from densepoints_tpu.ops import warp_ncc
@@ -86,6 +86,8 @@ def bench_shape(name, num_views, H, W, B, M, k, reps):
         axis=0,
     )
     resident = bool(images2.size * 2 <= warp_ncc._resident_limit())
+    if force_streaming:
+        resident = False
     y0 = jnp.asarray(
         rng.integers(0, (H - WIN_H) // 8, (B, M)).astype(np.int32) * 8
     )
@@ -153,12 +155,18 @@ def main(argv=None) -> int:
 
     import jax
 
-    # DTU shape uses B=1024: per-slot cost is B-independent (the grid just
-    # runs more steps), and the B=4096 variant hit a pathological
-    # multi-minute remote-compile through the tunnel.
+    # bench_streaming: the streaming kernel at the EXACT bench shape — the
+    # apples-to-apples resident-vs-streaming comparison. The dtu_streaming
+    # entry uses B=512: per-slot cost is B-independent (the grid just runs
+    # more steps), and larger B repeatedly wedged/crashed the tunnel's
+    # remote compiler on the big-HBM-operand program.
     shapes = [
         bench_shape("bench_resident", 8, 480, 640, 4096, 8, 11, args.reps),
-        bench_shape("dtu_streaming", 49, 1200, 1600, 1024, 16, 11, args.reps),
+        bench_shape(
+            "bench_streaming", 8, 480, 640, 4096, 8, 11, args.reps,
+            force_streaming=True,
+        ),
+        bench_shape("dtu_streaming", 49, 1200, 1600, 512, 16, 11, args.reps),
     ]
     artifact = {
         "device": str(jax.devices()[0].device_kind),
