@@ -125,7 +125,7 @@ def _viewsharded_features(mesh, images, config: MatchingConfig):
 _PAIR_CHUNK = 32
 
 
-def _chunked_pair_map(fn, F_dev, i1, i2):
+def _chunked_pair_map(fn, F_dev, i1, i2, *shared):
     """vmap `fn` over view pairs in fixed-size chunks.
 
     A flat vmap over all pairs materializes every pair's (N, N) distance
@@ -133,19 +133,26 @@ def _chunked_pair_map(fn, F_dev, i1, i2):
     keypoints, over HBM. Chunks of `_PAIR_CHUNK` pairs bound peak memory
     (~2 GB at N=4096) while keeping each dispatch one fixed compiled
     shape (the tail chunk is padded with pair 0 and sliced off).
+
+    `shared` arrays (keypoints/descriptors/valid masks) are passed as jit
+    OPERANDS, never closure captures: captured arrays embed as constants
+    in the compiled program, and the remote-compile transport ships the
+    whole serialized program — 822 MB of kp=16384 descriptors exceeds its
+    request-size limit (HTTP 413) and even accepted multi-100 MB bodies
+    made every "compile" take minutes.
     """
     P = F_dev.shape[0]
     C = _PAIR_CHUNK
+    vfn = jax.jit(jax.vmap(fn, in_axes=(0, 0, 0) + (None,) * len(shared)))
     if P <= C:
-        return jax.vmap(fn)(F_dev, i1, i2)
+        return vfn(F_dev, i1, i2, *shared)
     Pp = -(-P // C) * C
     padp = lambda a: jnp.concatenate(
         [a, jnp.broadcast_to(a[:1], (Pp - P,) + a.shape[1:])], axis=0
     )
     Fp, i1p, i2p = padp(F_dev), padp(i1), padp(i2)
-    vfn = jax.jit(jax.vmap(fn))
     outs = [
-        vfn(Fp[c : c + C], i1p[c : c + C], i2p[c : c + C])
+        vfn(Fp[c : c + C], i1p[c : c + C], i2p[c : c + C], *shared)
         for c in range(0, Pp, C)
     ]
     return jnp.concatenate(outs, axis=0)[:P]
@@ -203,7 +210,7 @@ def generate_seed_points(
             )
             desc = compute_descriptors(images, xy, pattern)
 
-        def _one(F, a, b):
+        def _one(F, a, b, desc, xy, valid):
             if config.matcher == "hamming_knn":
                 m, _ = match_pair(
                     desc[a], desc[b], valid[a], valid[b], config.lowe_ratio
@@ -219,28 +226,28 @@ def generate_seed_points(
                 F, xy[a], xy[b], m, config.max_epipolar_distance
             )
 
-        matches = _chunked_pair_map(_one, F_dev, i1, i2)
+        matches = _chunked_pair_map(_one, F_dev, i1, i2, desc, xy, valid)
     elif config.matcher == "epipolar":
 
-        def _one(F, a, b):
+        def _one(F, a, b, xy, valid):
             m, _ = direct_epipolar_pair(
                 F, xy[a], xy[b], valid[a], valid[b], config.max_epipolar_distance
             )
             return m
 
-        matches = _chunked_pair_map(_one, F_dev, i1, i2)
+        matches = _chunked_pair_map(_one, F_dev, i1, i2, xy, valid)
     elif config.matcher == "epipolar_all":
         # Reference semantics (matcher.cpp:267-317): EVERY pair within the
         # threshold matches (capped at epipolar_topk partners/keypoint),
         # consumed by ONE-HOP track assembly (no union-find transitivity).
-        def _one(F, a, b):
+        def _one(F, a, b, xy, valid):
             m, _ = direct_epipolar_pair_topk(
                 F, xy[a], xy[b], valid[a], valid[b],
                 config.max_epipolar_distance, config.epipolar_topk,
             )
             return m
 
-        matches = _chunked_pair_map(_one, F_dev, i1, i2)  # (P, N, K)
+        matches = _chunked_pair_map(_one, F_dev, i1, i2, xy, valid)  # (P, N, K)
         n_matches = np.asarray(jnp.sum(matches >= 0, axis=(1, 2)))
         log.info("matches per pair (all-pairs): %s", n_matches.tolist())
         obs, mask, _ = build_tracks_onehop(

@@ -53,7 +53,11 @@ def _measure(images2, y0, x0, views, coords, k, reps, resident):
 
     from densepoints_tpu.ops.warp_ncc import warp_ncc_scores
 
-    def run(coords, seed):
+    # Every array is a jit OPERAND: closure-captured arrays embed as
+    # constants in the serialized program and the tunnel's remote-compile
+    # transport rejects (HTTP 413) or crawls on multi-100MB bodies — the
+    # DTU image stack is 753 MB.
+    def run(images2, y0, x0, views, coords, seed):
         def body(i, acc):
             c = coords + (seed + i.astype(jnp.float32)) * 1e-3
             out = warp_ncc_scores(
@@ -64,9 +68,9 @@ def _measure(images2, y0, x0, views, coords, k, reps, resident):
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
     f = jax.jit(run)
-    float(f(coords, 0.0))  # compile
+    float(f(images2, y0, x0, views, coords, 0.0))  # compile
     t = time.perf_counter()
-    float(f(coords, 1.0))
+    float(f(images2, y0, x0, views, coords, 1.0))
     return (time.perf_counter() - t) / reps
 
 
