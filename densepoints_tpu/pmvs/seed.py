@@ -122,16 +122,22 @@ def _viewsharded_features(mesh, images, config: MatchingConfig):
     return xy, resp, valid, desc, shard_shapes
 
 
-_PAIR_CHUNK = 32
+_PAIR_CHUNK_BYTES = 2 << 30  # peak per-dispatch distance-matrix budget
 
 
-def _chunked_pair_map(fn, F_dev, i1, i2, *shared):
+def _pair_chunk(n_keypoints: int) -> int:
+    """Pairs per dispatch so the (C, N, N) f32 distance block stays under
+    the budget (C=32 at N=4096; C=2 at N=16384)."""
+    return max(1, min(32, _PAIR_CHUNK_BYTES // max(4 * n_keypoints**2, 1)))
+
+
+def _chunked_pair_map(fn, F_dev, i1, i2, n_keypoints, *shared):
     """vmap `fn` over view pairs in fixed-size chunks.
 
     A flat vmap over all pairs materializes every pair's (N, N) distance
     matrix at once — ~19 GB for a DTU scan's ~285 pruned pairs at N=4096
-    keypoints, over HBM. Chunks of `_PAIR_CHUNK` pairs bound peak memory
-    (~2 GB at N=4096) while keeping each dispatch one fixed compiled
+    keypoints, over HBM. Chunks of `_pair_chunk(N)` pairs bound peak memory
+    (~2 GB at any N) while keeping each dispatch one fixed compiled
     shape (the tail chunk is padded with pair 0 and sliced off).
 
     `shared` arrays (keypoints/descriptors/valid masks) are passed as jit
@@ -142,7 +148,7 @@ def _chunked_pair_map(fn, F_dev, i1, i2, *shared):
     made every "compile" take minutes.
     """
     P = F_dev.shape[0]
-    C = _PAIR_CHUNK
+    C = _pair_chunk(n_keypoints)
     vfn = jax.jit(jax.vmap(fn, in_axes=(0, 0, 0) + (None,) * len(shared)))
     if P <= C:
         return vfn(F_dev, i1, i2, *shared)
@@ -226,7 +232,9 @@ def generate_seed_points(
                 F, xy[a], xy[b], m, config.max_epipolar_distance
             )
 
-        matches = _chunked_pair_map(_one, F_dev, i1, i2, desc, xy, valid)
+        matches = _chunked_pair_map(
+            _one, F_dev, i1, i2, xy.shape[1], desc, xy, valid
+        )
     elif config.matcher == "epipolar":
 
         def _one(F, a, b, xy, valid):
@@ -235,7 +243,9 @@ def generate_seed_points(
             )
             return m
 
-        matches = _chunked_pair_map(_one, F_dev, i1, i2, xy, valid)
+        matches = _chunked_pair_map(
+            _one, F_dev, i1, i2, xy.shape[1], xy, valid
+        )
     elif config.matcher == "epipolar_all":
         # Reference semantics (matcher.cpp:267-317): EVERY pair within the
         # threshold matches (capped at epipolar_topk partners/keypoint),
@@ -247,7 +257,9 @@ def generate_seed_points(
             )
             return m
 
-        matches = _chunked_pair_map(_one, F_dev, i1, i2, xy, valid)  # (P, N, K)
+        matches = _chunked_pair_map(
+            _one, F_dev, i1, i2, xy.shape[1], xy, valid
+        )  # (P, N, K)
         n_matches = np.asarray(jnp.sum(matches >= 0, axis=(1, 2)))
         log.info("matches per pair (all-pairs): %s", n_matches.tolist())
         obs, mask, _ = build_tracks_onehop(

@@ -105,6 +105,6 @@ def test_chunked_pair_matching_equals_flat(rng, monkeypatch):
     scene, cams, images = _setup(rng)
     cfg = MatchingConfig(max_keypoints_per_view=256)
     pts_flat, _, _ = generate_seed_points(images, cams, cfg)
-    monkeypatch.setattr(seed_mod, "_PAIR_CHUNK", 3)  # force chunking (10 pairs)
+    monkeypatch.setattr(seed_mod, "_pair_chunk", lambda n: 3)  # force chunking (10 pairs)
     pts_chunk, _, _ = generate_seed_points(images, cams, cfg)
     np.testing.assert_allclose(pts_chunk, pts_flat, atol=1e-6)
