@@ -128,14 +128,92 @@ def _colmap_K(model: str, params: list[float]) -> np.ndarray:
     return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
 
 
+# COLMAP model_id -> (name, param count) for the binary format (the
+# public read_write_model.py table).
+_COLMAP_MODELS = {
+    0: ("SIMPLE_PINHOLE", 3),
+    1: ("PINHOLE", 4),
+    2: ("SIMPLE_RADIAL", 4),
+    3: ("RADIAL", 5),
+    4: ("OPENCV", 8),
+    5: ("OPENCV_FISHEYE", 8),
+    6: ("FULL_OPENCV", 12),
+    7: ("FOV", 5),
+    8: ("SIMPLE_RADIAL_FISHEYE", 4),
+    9: ("RADIAL_FISHEYE", 5),
+    10: ("THIN_PRISM_FISHEYE", 12),
+}
+
+
+def _read_colmap_binary(sparse_dir: Path):
+    """Parse cameras.bin / images.bin (COLMAP's default export format).
+
+    Returns (cameras {id: K}, image rows [(name, qvec, tvec, cam_id)]).
+    """
+    import struct
+
+    cameras = {}
+    with open(sparse_dir / "cameras.bin", "rb") as f:
+        (n_cams,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n_cams):
+            cam_id, model_id, _w, _h = struct.unpack("<iiQQ", f.read(24))
+            name, n_params = _COLMAP_MODELS[model_id]
+            params = list(
+                struct.unpack(f"<{n_params}d", f.read(8 * n_params))
+            )
+            cameras[cam_id] = _colmap_K(name, params)
+
+    rows = []
+    with open(sparse_dir / "images.bin", "rb") as f:
+        (n_imgs,) = struct.unpack("<Q", f.read(8))
+        for _ in range(n_imgs):
+            _img_id = struct.unpack("<i", f.read(4))[0]
+            q = struct.unpack("<4d", f.read(32))
+            t = struct.unpack("<3d", f.read(24))
+            (cam_id,) = struct.unpack("<i", f.read(4))
+            name_bytes = bytearray()
+            while True:
+                c = f.read(1)
+                if c == b"\x00" or not c:
+                    break
+                name_bytes += c
+            (n_pts,) = struct.unpack("<Q", f.read(8))
+            f.seek(24 * n_pts, 1)  # skip POINTS2D (x, y, point3D_id)
+            rows.append(
+                (name_bytes.decode(), np.asarray(q), np.asarray(t), cam_id)
+            )
+    return cameras, rows
+
+
 def colmap_to_scene_json(sparse_dir, images_dir, out_path) -> Path:
-    """Convert a COLMAP text model (cameras.txt + images.txt) to scene JSON.
+    """Convert a COLMAP model (text OR binary) to scene JSON.
 
     P = K [R | t] with R from the stored world-to-camera quaternion and
     t the stored translation (COLMAP convention: x_cam = R X + t).
+    Binary models (`cameras.bin`/`images.bin` — COLMAP's default export,
+    what Tanks&Temples reconstructions ship) are preferred when present;
+    text models (`cameras.txt`/`images.txt`) otherwise.
     """
     sparse_dir, images_dir = Path(sparse_dir), Path(images_dir)
     out_path = Path(out_path)
+
+    if (sparse_dir / "cameras.bin").exists():
+        cameras, rows = _read_colmap_binary(sparse_dir)
+        views = []
+        for name, qvec, tvec, cam_id in rows:
+            R = _qvec_to_rotmat(qvec)
+            P = cameras[cam_id] @ np.concatenate([R, tvec[:, None]], axis=1)
+            views.append({"filename": name, "projectionMatrix": P.tolist()})
+        views.sort(key=lambda v: v["filename"])
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(
+                {"imagesPath": str(images_dir.resolve()), "views": views}, f
+            )
+        log.info(
+            "COLMAP binary model: %d views -> %s", len(views), out_path
+        )
+        return out_path
 
     cameras = {}
     with open(sparse_dir / "cameras.txt") as f:

@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=1200)
     p.add_argument("--kp", type=int, default=4096,
                    help="max keypoints per view (reference ORB uses 40000)")
+    p.add_argument("--max-per-cell", type=int, default=4,
+                   help="grid-filter keypoints per 16px cell (the knob "
+                   "that actually binds at DTU image sizes: the detector "
+                   "yields ~3.1k corners/view under top-4/cell, so the "
+                   "kp cap is slack)")
     p.add_argument("--focal", type=float, default=2900.0)
     p.add_argument("--radius", type=float, default=60.0, help="object mm")
     p.add_argument("--cam-radius", type=float, default=650.0)
@@ -85,12 +90,14 @@ def main(argv=None) -> int:
     scene = Scene(cameras=cams, images=images, colors=None)
 
     ckpt_dir = (
-        f"/tmp/dtu_ckpt_{args.views}x{args.width}x{args.height}_kp{args.kp}"
+        f"/tmp/dtu_ckpt_{args.views}x{args.width}x{args.height}"
+        f"_kp{args.kp}_pc{args.max_per_cell}"
     )
     config = load_config(
         {
             "matching": {
                 "max_keypoints_per_view": args.kp,
+                "max_keypoints_per_cell": args.max_per_cell,
                 # all C(49,2)=1176 pairs is the reference default; prune to
                 # covisible neighbors at scan scale (SURVEY §2.4 pair list)
                 "max_pairs_per_view": 10,
@@ -156,6 +163,7 @@ def main(argv=None) -> int:
         },
         "config": {
             "max_keypoints_per_view": args.kp,
+            "max_keypoints_per_cell": args.max_per_cell,
             "max_pairs_per_view": 10,
             "nm_iterations": args.nm_iters,
             "expand_max_rounds": args.max_rounds,

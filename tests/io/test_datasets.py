@@ -133,3 +133,46 @@ def test_colmap_adapter_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(
             got[:2] / got[2], want[:2] / want[2], atol=1e-3
         )
+
+
+def test_colmap_binary_model_roundtrip(tmp_path, rng):
+    """cameras.bin / images.bin (COLMAP's default export) parse to the same
+    scene as the text model."""
+    import struct
+
+    scene = TexturedPlaneScene(rng, num_views=3, width=64, height=48)
+    sparse = tmp_path / "sparse"
+    sparse.mkdir()
+    K = scene.K
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        # PINHOLE (model_id 1): fx fy cx cy
+        f.write(struct.pack("<iiQQ", 1, 1, 64, 48))
+        f.write(struct.pack("<4d", K[0, 0], K[1, 1], K[0, 2], K[1, 2]))
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", 3))
+        for i in range(3):
+            M = np.linalg.inv(K) @ scene.P[i]
+            R, t = M[:, :3], M[:, 3]
+            w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+            x = (R[2, 1] - R[1, 2]) / (4 * w)
+            y = (R[0, 2] - R[2, 0]) / (4 * w)
+            z = (R[1, 0] - R[0, 1]) / (4 * w)
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", w, x, y, z))
+            f.write(struct.pack("<3d", *t))
+            f.write(struct.pack("<i", 1))
+            f.write(f"v{i}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 2))  # two POINTS2D entries to skip
+            f.write(struct.pack("<ddq", 1.0, 2.0, -1) * 2)
+    _write_images(scene, tmp_path / "img", lambda i: f"v{i}.png")
+    out = colmap_to_scene_json(sparse, tmp_path / "img", tmp_path / "s.json")
+    loaded = load_scene(out)
+    assert loaded.cameras.num_views == 3
+    pt = np.array([0.1, -0.2, 0.05, 1.0])
+    for i in range(3):
+        want = scene.P[i] @ pt
+        got = np.asarray(loaded.cameras.P)[i] @ pt
+        np.testing.assert_allclose(
+            got[:2] / got[2], want[:2] / want[2], atol=1e-3
+        )
