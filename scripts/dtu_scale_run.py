@@ -53,6 +53,10 @@ def main(argv=None) -> int:
                    "the batched solver's global early exit usually fires "
                    "far earlier — this caps worst-case wall time)")
     p.add_argument("--threshold-mm", type=float, default=2.0)
+    p.add_argument("--surface", action="store_true",
+                   help="also extract a TSDF surface and report mesh-vertex "
+                   "distance to the analytic sphere (BASELINE config-5 "
+                   "'large scene + surface')")
     args = p.parse_args(argv)
 
     from synthetic import TexturedSphereScene
@@ -193,6 +197,39 @@ def main(argv=None) -> int:
             ),
         },
     }
+    if args.surface:
+        from densepoints_tpu.config import SurfaceConfig
+        from densepoints_tpu.surface.tsdf import extract_surface
+
+        ts = time.perf_counter()
+        verts, faces = extract_surface(
+            result.positions,
+            result.normals,
+            SurfaceConfig(
+                enable=True, voxel_resolution=192, min_weight=2.0
+            ),
+        )
+        t_surface = time.perf_counter() - ts
+        verts = np.asarray(verts)
+        vex = (
+            np.abs(np.linalg.norm(verts, axis=1) - args.radius)
+            if len(verts)
+            else np.array([np.nan])
+        )
+        artifact["surface"] = {
+            "voxel_resolution": 192,
+            "min_weight": 2.0,
+            "vertices": int(len(verts)),
+            "faces": int(len(np.asarray(faces))),
+            "extract_seconds": round(t_surface, 1),
+            "vertex_dist_mm": {
+                "median": round(float(np.median(vex)), 3),
+                "mean": round(float(np.mean(vex)), 3),
+                "p95": round(float(np.percentile(vex, 95)), 3),
+            },
+        }
+        print("surface:", artifact["surface"], flush=True)
+
     import jax
 
     artifact["device"] = str(jax.devices()[0].device_kind)
