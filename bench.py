@@ -140,6 +140,24 @@ def main():
     )
     t_vpu = vpu_ops / 4e12
 
+    # Emit the headline line NOW: the densify section below adds minutes
+    # of stage compiles, and if an external timeout cuts the run short the
+    # tail still carries a parseable result (the full line re-prints last).
+    print(
+        json.dumps(
+            {
+                "metric": "patches_per_sec",
+                "value": round(pps, 1),
+                "unit": "patches/s",
+                "vs_baseline": round(pps / NOMINAL_BASELINE_PATCHES_PER_SEC, 3),
+                "kernel_ms_per_call": round(kdt * 1e3, 3),
+                "fraction_of_roofline": round(t_mxu / kdt, 3),
+                "fraction_of_compute_bound": round((t_mxu + t_vpu) / kdt, 3),
+            }
+        ),
+        flush=True,
+    )
+
     # --- end-to-end densify throughput (VERDICT r2 weak #5) -------------
     # Seeded textured plane through refine -> expand -> insert -> filter
     # (detection skipped: seed_points injected, keeping the bench bounded;
