@@ -382,9 +382,13 @@ def patch_ncc_scores_fused(
     # Window corners centered on the patch center's projection, clamped so
     # the fixed-size window stays inside the image.
     center = _proj(position[:, None, :])[:, :, 0, :]  # (B, M, 2)
-    # Pad images up to the window size if needed (tiny test scenes).
+    # Pad images up to the window size if needed (tiny test scenes). The
+    # phase stack is built in bf16 — the kernel samples bf16 anyway, and
+    # keeping the (2V, H, W) intermediate f32 doubled the largest
+    # allocation of the scoring path (3 GB at 100 full-res views).
     Hp = max(H, WIN_H)
     Wp = max(W, 2 * WIN_W)
+    images = images.astype(jnp.bfloat16)
     if (Hp, Wp) != (H, W):
         images = jnp.pad(images, ((0, 0), (0, Hp - H), (0, Wp - W)))
     # Two phase-shifted copies give the lane axis 64-px snapping: phase 1

@@ -271,7 +271,13 @@ def _sliced(fn_jit, images, cameras, state, texture_size, config):
                 ),
                 sl,
             )
-        outs.append(fn_jit(images, cameras, sl, texture_size, config))
+        out = fn_jit(images, cameras, sl, texture_size, config)
+        # Serialize slices: async dispatch would hold every slice's
+        # multi-GB execution workspace live at once, which is the point
+        # of slicing to avoid. The host sync costs microseconds against
+        # seconds of per-slice compute.
+        jax.block_until_ready(out.position)
+        outs.append(out)
     full = jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=0), *outs)
     return jax.tree.map(lambda a: a[:B], full)
 
