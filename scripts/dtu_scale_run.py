@@ -52,6 +52,14 @@ def main(argv=None) -> int:
                    help="Nelder-Mead iteration cap (reference cap is 500; "
                    "the batched solver's global early exit usually fires "
                    "far earlier — this caps worst-case wall time)")
+    p.add_argument("--score-views", type=int, default=25,
+                   help="texture-scoring slot width (max_score_views): "
+                   "each anchor chunk repays the full XLA warp geometry "
+                   "for every patch, so fewer, wider chunks win at scan "
+                   "view counts - measured 2.4x faster refine at V=49 "
+                   "with 25 (2 chunks) vs 16 (4 chunks), identical "
+                   "numerics; 49 (1 chunk) is slower again (kernel "
+                   "M-loop too long)")
     p.add_argument("--threshold-mm", type=float, default=2.0)
     p.add_argument("--surface", action="store_true",
                    help="also extract a TSDF surface and report mesh-vertex "
@@ -106,7 +114,10 @@ def main(argv=None) -> int:
                 # covisible neighbors at scan scale (SURVEY §2.4 pair list)
                 "max_pairs_per_view": 10,
             },
-            "optimize": {"max_iterations": args.nm_iters},
+            "optimize": {
+                "max_iterations": args.nm_iters,
+                "max_score_views": args.score_views,
+            },
             "expand": {"max_rounds": args.max_rounds},
             # Scan-scale filter preset, picked with data (FILTER_SWEEP_r03
             # .json): ~halves exact mean error vs the toy-safe library
@@ -170,6 +181,7 @@ def main(argv=None) -> int:
             "max_keypoints_per_cell": args.max_per_cell,
             "max_pairs_per_view": 10,
             "nm_iterations": args.nm_iters,
+            "max_score_views": args.score_views,
             "expand_max_rounds": args.max_rounds,
         },
         "patches": patches,
