@@ -120,11 +120,16 @@ def _colmap_K(model: str, params: list[float]) -> np.ndarray:
     else:
         raise ValueError(f"unsupported COLMAP camera model {model!r}")
     if model not in ("SIMPLE_PINHOLE", "PINHOLE"):
-        log.warning(
-            "COLMAP model %s has distortion parameters; they are ignored "
-            "(densification assumes rectified images)",
-            model,
-        )
+        n_k = 3 if model in ("SIMPLE_RADIAL", "RADIAL") else 4
+        dist = params[n_k:]
+        if any(abs(d) > 0 for d in dist):
+            log.warning(
+                "COLMAP model %s carries nonzero distortion %s — it is "
+                "DISCARDED (pinhole approximation); undistort the images "
+                "first or expect biased reprojections",
+                model,
+                dist,
+            )
     return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
 
 

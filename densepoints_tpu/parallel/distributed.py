@@ -27,7 +27,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from densepoints_tpu.config import OptimizeConfig, OrganizerConfig
 from densepoints_tpu.core.cameras import Cameras
 from densepoints_tpu.parallel.mesh import PATCH_AXIS, replicate, shard_patches
-from densepoints_tpu.pmvs.optimize import filter_by_error, optimize_patches
+from densepoints_tpu.pmvs.optimize import (
+    filter_by_error,
+    filter_by_error_once,
+    optimize_patches,
+    optimize_patches_once,
+)
 from densepoints_tpu.pmvs.organizer import OccupancyGrids, candidate_cells
 from densepoints_tpu.pmvs.patch import PatchState
 from densepoints_tpu.pmvs.visibility import classify_views
@@ -35,6 +40,7 @@ from densepoints_tpu.pmvs.visibility import classify_views
 __all__ = [
     "shard_state",
     "refine_step_impl",
+    "refine_step_once",
     "distributed_refine_step",
     "distributed_insert",
     "pad_views",
@@ -94,6 +100,37 @@ def refine_step_impl(
 distributed_refine_step = functools.partial(
     jax.jit, static_argnames=("texture_size", "optimize_config")
 )(refine_step_impl)
+
+
+def refine_step_once(
+    images: jax.Array,
+    cameras: Cameras,
+    state: PatchState,
+    texture_size: int,
+    optimize_config: OptimizeConfig = OptimizeConfig(),
+) -> PatchState:
+    """`refine_step_impl` without the `max_refine_batch` slicing wrappers.
+
+    For drivers that slice the batch themselves OUTSIDE jit (the multihost
+    round loop): jitting `refine_step_impl` would unroll `_sliced`'s loop
+    into one XLA program, letting the scheduler keep every slice's buffers
+    live and defeating the HBM bound (ADVICE r3 medium).
+    """
+    state = optimize_patches_once(
+        images, cameras, state, texture_size, optimize_config
+    )
+    vis, cand = classify_views(
+        cameras,
+        state.position,
+        state.normal,
+        state.ref,
+        optimize_config.visible_angle,
+        optimize_config.candidate_angle,
+    )
+    state = dataclasses.replace(state, vis=vis, cand=cand)
+    return filter_by_error_once(
+        images, cameras, state, texture_size, optimize_config
+    )
 
 
 def distributed_insert(

@@ -41,6 +41,7 @@ patch blocks) is sharded as described above. See docs/ARCHITECTURE.md.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -50,13 +51,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from densepoints_tpu.config import PipelineConfig
 from densepoints_tpu.parallel.distributed import (
     pad_views,
-    refine_step_impl,
+    refine_step_once,
     viewsharded_insert,
 )
 from densepoints_tpu.parallel.mesh import PATCH_AXIS, replicate
 from densepoints_tpu.pmvs.expand import make_expansion_candidates
 from densepoints_tpu.pmvs.filter import run_filters
-from densepoints_tpu.pmvs.optimize import filter_by_error, optimize_patches
+from densepoints_tpu.pmvs.optimize import (
+    filter_by_error_once,
+    optimize_patches_once,
+)
 from densepoints_tpu.pmvs.organizer import candidate_cells, make_grids
 from densepoints_tpu.pmvs.patch import PatchState
 from densepoints_tpu.pmvs.pipeline import DensifyResult
@@ -171,20 +175,33 @@ class _ShardedOps:
             out_shardings=self.shard,
         )
 
-        self.refine = jax.jit(
-            refine_step_impl,
+        # Jit the UNSLICED stage bodies and drive the `max_refine_batch`
+        # slice loop from the driver (self._sliced): jitting the public
+        # `optimize_patches`/`filter_by_error` wrappers would unroll their
+        # slice loop into one XLA program and silently defeat the HBM
+        # bound on exactly the path where DTU-scale batches occur
+        # (ADVICE r3 medium).
+        self._refine_jit = jax.jit(
+            refine_step_once,
             static_argnames=("texture_size", "optimize_config"),
             out_shardings=self.shard,
         )
-        self.seed_filter = jax.jit(
-            filter_by_error,
+        self._seed_filter_jit = jax.jit(
+            filter_by_error_once,
             static_argnames=("texture_size", "config"),
             out_shardings=self.shard,
         )
-        self.seed_optimize = jax.jit(
-            optimize_patches,
+        self._seed_optimize_jit = jax.jit(
+            optimize_patches_once,
             static_argnames=("texture_size", "config"),
             out_shardings=self.shard,
+        )
+        self.refine = functools.partial(self._sliced, self._refine_jit)
+        self.seed_filter = functools.partial(
+            self._sliced, self._seed_filter_jit
+        )
+        self.seed_optimize = functools.partial(
+            self._sliced, self._seed_optimize_jit
         )
 
         V = spec.cells.shape[0]
@@ -205,6 +222,49 @@ class _ShardedOps:
             )
 
         self.concat = jax.jit(_concat, out_shardings=self.shard)
+
+    def _sliced(self, fn_jit, images, cameras, state, texture_size, config):
+        """Run a jitted per-patch stage over `max_refine_batch` slices.
+
+        The sharded analog of pmvs.optimize._sliced: slices are extracted
+        with the jitted replicated-index gather (`self.take`, SPMD-safe on
+        multi-process global arrays) and executed one dispatch at a time
+        with a host sync in between, so at most one slice's NM workspace is
+        live on the devices.
+        """
+        B = state.capacity
+        mb = config.max_refine_batch
+        if mb <= 0 or B <= mb:
+            return fn_jit(images, cameras, state, texture_size, config)
+        mb = -(-mb // self.n_dev) * self.n_dev  # shardable slice width
+        valid_full = jax.device_put(jnp.ones((mb,), bool), self.rep)
+        outs = []
+        for lo in range(0, B, mb):
+            n = min(mb, B - lo)
+            idx = np.zeros((mb,), np.int32)
+            idx[:n] = np.arange(lo, lo + n, dtype=np.int32)
+            if n == mb:
+                valid = valid_full
+            else:
+                v = np.zeros((mb,), bool)
+                v[:n] = True
+                valid = jax.device_put(jnp.asarray(v), self.rep)
+            sl = self.take(
+                state, jax.device_put(jnp.asarray(idx), self.rep), valid
+            )
+            out = fn_jit(images, cameras, sl, texture_size, config)
+            # Serialize slices: async dispatch would hold every slice's
+            # execution workspace live at once — the point of slicing.
+            jax.block_until_ready(out.position)
+            outs.append(out)
+        full = self.concat(outs)
+        if full.capacity == B:
+            return full
+        idx = jax.device_put(
+            jnp.arange(B, dtype=jnp.int32), self.rep
+        )
+        ones = jax.device_put(jnp.ones((B,), bool), self.rep)
+        return self.take(full, idx, ones)
 
     def place(self, state: PatchState) -> PatchState:
         """Pad capacity to a shardable bucket and device_put sharded."""
@@ -250,6 +310,12 @@ class _ShardedOps:
             jax.device_put(jnp.asarray(gids), self.rep),
             self.config.organizer.min_grids_to_accept,
         )
+
+
+def _ckpt_stage(ckpt) -> str:
+    """Stage name of a checkpoint path ("" if none) — from the filename
+    (checkpoints are written as `{stage}.npz`)."""
+    return "" if ckpt is None else ckpt.stem
 
 
 def _replicated_host_state(ops: _ShardedOps, state: PatchState) -> PatchState:
@@ -328,6 +394,36 @@ def densify_multihost(
         )
 
         ckpt = latest_checkpoint(rt.checkpoint_dir)
+        if jax.process_count() > 1:
+            # Checkpoints are written by process 0 only, so
+            # `checkpoint_dir` must be a SHARED filesystem in multi-process
+            # jobs. Agree on process 0's resume decision before branching:
+            # divergent fresh-run/resume programs would issue mismatched
+            # collectives (hang/corruption, ADVICE r3 low).
+            from jax.experimental import multihost_utils
+
+            stages = ["", "seeds_optimized", "expanded", "final"]
+            stage = _ckpt_stage(ckpt)
+            local_code = stages.index(stage) if stage in stages else -1
+            code = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.int32(local_code)
+                )
+            )
+            if code != local_code:
+                raise RuntimeError(
+                    "multihost resume: process %d sees checkpoint stage %r "
+                    "but process 0 decided %r — runtime.checkpoint_dir "
+                    "(%s) must be on a filesystem shared by every process"
+                    % (
+                        jax.process_index(),
+                        stage,
+                        stages[code] if 0 <= code < len(stages) else code,
+                        rt.checkpoint_dir,
+                    )
+                )
+            if code == 0:
+                ckpt = None
         if ckpt is not None:
             resume_state, meta, ckpt_cams = load_checkpoint(ckpt)
             resume_stage = meta.get("stage")
@@ -415,15 +511,21 @@ def densify_multihost(
                 )
     metrics.count("seeds_after_refine", n_seeds)
     log.info("multihost: %d seeds after refine", n_seeds)
-    if rt.checkpoint_dir and jax.process_index() == 0:
-        from densepoints_tpu.utils.checkpoint import save_checkpoint
+    if rt.checkpoint_dir:
+        # The gather is a COLLECTIVE (jitted all-gather over the sharded
+        # state) — every process must enter it; only the file write is
+        # process-0-only (ADVICE r3 high: gating the gather deadlocked
+        # multi-process jobs at the first checkpoint).
+        host = _replicated_host_state(ops, state)
+        if jax.process_index() == 0:
+            from densepoints_tpu.utils.checkpoint import save_checkpoint
 
-        save_checkpoint(
-            f"{rt.checkpoint_dir}/seeds_optimized.npz",
-            _replicated_host_state(ops, state),
-            stage="seeds_optimized",
-            cameras=cameras,
-        )
+            save_checkpoint(
+                f"{rt.checkpoint_dir}/seeds_optimized.npz",
+                host,
+                stage="seeds_optimized",
+                cameras=cameras,
+            )
 
     overhead = _Overhead()
     ids0 = np.arange(state.capacity, dtype=np.int32)

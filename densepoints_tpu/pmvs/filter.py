@@ -104,15 +104,24 @@ def filter_weak_support(
     grid_max = jnp.full((n_cells + 1,), -inf, depth.dtype)
     grid_max = grid_max.at[safe].max(jnp.where(ref_ok, ref_depth, -inf))
 
-    # Gather the 3x3 neighborhood (same view block, so offsets stay valid
-    # modulo edge cells that simply read inf).
+    # Gather the 3x3 neighborhood with PER-AXIS bounds: flat-id offsets on
+    # ref_cell alone wrap at grid borders (col 0 with dx=-1 reads the
+    # previous ROW's last cell; row 0 with dy=-1 reads the previous VIEW's
+    # bottom row), letting border patches gain phantom support from an
+    # unrelated image region (VERDICT r3 weak #3).
+    ref_row = (ref_cell // Wg) % Hg
+    ref_col = ref_cell % Wg
     support = jnp.zeros((B,), jnp.int32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
+            row_ok = (ref_row + dy >= 0) & (ref_row + dy < Hg)
+            col_ok = (ref_col + dx >= 0) & (ref_col + dx < Wg)
             nb = ref_cell + dy * Wg + dx
-            nb = jnp.where((nb >= 0) & (nb < n_cells), nb, n_cells)
+            nb = jnp.where(
+                row_ok & col_ok & (nb >= 0) & (nb < n_cells), nb, n_cells
+            )
             lo = grid_min[nb]
             hi = grid_max[nb]
             tol = depth_consistency * ref_depth

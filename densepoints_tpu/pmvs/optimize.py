@@ -40,7 +40,9 @@ __all__ = [
     "patch_ncc_scores",
     "photometric_objective",
     "filter_by_error",
+    "filter_by_error_once",
     "optimize_patches",
+    "optimize_patches_once",
 ]
 
 
@@ -419,3 +421,13 @@ def _optimize_patches_jit(
         position=jnp.where(keep, pos, state.position),
         normal=jnp.where(keep, nrm, state.normal),
     )
+
+
+# Unsliced single-dispatch stage functions, for callers that manage the
+# `max_refine_batch` HBM bound themselves (the multihost driver slices
+# OUTSIDE its sharded jits — re-jitting the `_sliced` wrappers would unroll
+# the slice loop into one XLA program and silently defeat the bound,
+# ADVICE r3 medium). Do NOT wrap `optimize_patches`/`filter_by_error` in
+# another jax.jit for the same reason.
+optimize_patches_once = _optimize_patches_jit
+filter_by_error_once = _filter_by_error_jit

@@ -76,3 +76,53 @@ def test_weak_support_kills_invalid_ref_projection(rng):
     alive = np.asarray(out.alive)
     assert alive[:9].mean() > 0.8
     assert not alive[9], "invalid-ref-projection patch must not survive"
+
+
+def _axis_cams(num_views=1, f=100.0, width=160, height=120):
+    """Identity-pose cameras at the origin looking down +z with cx=cy=0,
+    so pixel = (f*x/z, f*y/z) — exact control over grid cells."""
+    P = np.zeros((num_views, 3, 4))
+    P[:, 0, 0] = f
+    P[:, 1, 1] = f
+    P[:, 2, 2] = 1.0
+    return Cameras.from_projection_matrices(P, widths=width, heights=height)
+
+
+def test_weak_support_no_column_wraparound():
+    """A patch in col 0 must NOT gain support from the previous row's LAST
+    cell (flat-id dx=-1 wraps at the grid border, VERDICT r3 weak #3)."""
+    cams = _axis_cams()  # grid 20x15 cells at scale 8
+    f = 100.0
+    # A -> pixel (4, 20) = cell (row 2, col 0); B -> pixel (156, 12) =
+    # cell (row 1, col 19) — exactly the cell flat-id wraparound reads for
+    # A's (dy=-1, dx=-1) neighbor. Same depth, so it "agrees".
+    A = [4 / f, 20 / f, 1.0]
+    B = [156 / f, 12 / f, 1.0]
+    state = _patches(cams, [A, B])
+    out = filter_weak_support(cams, state, depth_consistency=0.05)
+    assert not np.asarray(out.alive)[0], "phantom wrapped-cell support"
+
+    # Positive control: a genuine neighbor at (row 2, col 1) supports A.
+    C = [12 / f, 20 / f, 1.0]
+    state = _patches(cams, [A, B, C])
+    out = filter_weak_support(cams, state, depth_consistency=0.05)
+    assert np.asarray(out.alive)[0], "real neighbor support must count"
+
+
+def test_weak_support_no_row_wraparound():
+    """A patch in row 0 of view 1's grid must NOT gain support from view
+    0's BOTTOM row (flat-id dy=-1 crosses the view block boundary)."""
+    cams = _axis_cams(num_views=2)
+    f = 100.0
+    # D (ref 1) -> pixel (40, 4) = view-1 cell (row 0, col 5); its buggy
+    # (dy=-1, dx=0) neighbor is view-0 cell (row 14, col 5), where E
+    # (ref 0) sits at the same depth.
+    D = [40 / f, 4 / f, 1.0]
+    E = [40 / f, 116 / f, 1.0]
+    pos = np.asarray([D, E], np.float32)
+    normal = np.tile([0.0, 0.0, 1.0], (2, 1)).astype(np.float32)
+    refs = np.asarray([1, 0], np.int32)
+    vis = np.ones((2, 2), bool)
+    state = PatchState.create(pos, normal, refs, vis)
+    out = filter_weak_support(cams, state, depth_consistency=0.05)
+    assert not np.asarray(out.alive)[0], "phantom cross-view support"
