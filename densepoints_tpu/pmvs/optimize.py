@@ -39,6 +39,7 @@ __all__ = [
     "unparametrize",
     "patch_ncc_scores",
     "photometric_objective",
+    "photometric_objective_paged",
     "filter_by_error",
     "filter_by_error_once",
     "optimize_patches",
@@ -217,6 +218,105 @@ def photometric_objective(
     return f
 
 
+def _allview_scores(
+    images, cameras, position, normal, ref, vis, texture_size,
+    pages=None, plan=None, plan_a=None,
+):
+    """(B, V) anchor-NCC score grid: paged kernel on TPU, XLA elsewhere.
+
+    The round-4 scoring path: every visible non-anchor view scored in ONE
+    pass (no anchor-pinned chunks, no anchor re-warp, work scales with
+    sum(vis)). Returns (scores (B, V), anchor (B,), anchor_ok (B,)) with
+    -1 at invisible/invalid positions (see ops/warp_ncc_paged).
+    """
+    from densepoints_tpu.ops.warp_ncc_paged import (
+        allview_scores_xla,
+        paged_all_scores,
+    )
+
+    def _tpu(images, cameras, position, normal, ref, vis):
+        return paged_all_scores(
+            images, cameras, position, normal, ref, vis, texture_size,
+            pages=pages, plan=plan, plan_a=plan_a,
+        )
+
+    def _xla(images, cameras, position, normal, ref, vis):
+        return allview_scores_xla(
+            images, cameras, position, normal, ref, vis, texture_size
+        )
+
+    return jax.lax.platform_dependent(
+        images, cameras, position, normal, ref, vis,
+        tpu=_tpu, default=_xla,
+    )
+
+
+def _paged_loop_invariants(images, vis):
+    """Pages + slot plans for `_allview_scores` — functions of the images
+    and the visibility mask only, so Nelder-Mead callers build them ONCE
+    outside the solver loop (argsort does not get hoisted by XLA)."""
+    import jax.numpy as _jnp
+
+    from densepoints_tpu.ops.warp_ncc_paged import build_pages, make_plan
+
+    pages = build_pages(images)
+    anchor = _jnp.argmax(vis, axis=1).astype(_jnp.int32)
+    has = _jnp.any(vis, axis=1)
+    cols = jax.lax.broadcasted_iota(_jnp.int32, vis.shape, 1)
+    plan_a = make_plan(has[:, None] & (cols == anchor[:, None]))
+    plan = make_plan(vis & (cols != anchor[:, None]))
+    return pages, plan, plan_a
+
+
+def photometric_objective_paged(
+    images: jax.Array,
+    cameras: Cameras,
+    position0: jax.Array,
+    normal0: jax.Array,
+    ref: jax.Array,
+    vis: jax.Array,
+    texture_size: int,
+):
+    """All-views batched objective f(params (B, K, 3)) -> (B, K).
+
+    Identical semantics to `photometric_objective` (mean over every
+    visible non-anchor view of 1 - NCC vs the anchor texture; invalid
+    warps score -1 -> penalty 2; no scorable views -> 2), built on the
+    single-pass (B, V) score grid instead of anchor-pinned chunks.
+    """
+    B, V = vis.shape
+    pages, plan, plan_a = _paged_loop_invariants(images, vis)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    anchor = jnp.argmax(vis, axis=1).astype(jnp.int32)
+    payload = vis & (cols != anchor[:, None])  # (B, V)
+    n_payload = jnp.sum(payload, axis=1)  # static across evals
+
+    def f(params: jax.Array) -> jax.Array:
+        K = params.shape[1]
+        costs = []
+        for kk in range(K):
+            pos, nrm = unparametrize(
+                params[:, kk, :], position0, normal0, cameras.C[ref]
+            )
+            scores, _, _ = _allview_scores(
+                images, cameras, pos, nrm, ref, vis, texture_size,
+                pages=pages, plan=plan, plan_a=plan_a,
+            )
+            err = jnp.sum(
+                jnp.where(payload, 1.0 - scores, 0.0), axis=1
+            )
+            costs.append(
+                jnp.where(
+                    n_payload > 0,
+                    err / jnp.maximum(n_payload, 1),
+                    2.0,
+                )
+            )
+        return jnp.stack(costs, axis=1)
+
+    return f
+
+
 def _anchor_chunks(vis: jax.Array, max_views: int):
     """Split each patch's visible set into anchor-pinned slot chunks.
 
@@ -313,8 +413,12 @@ def _filter_by_error_jit(
 
     The reference scores EVERY visible view (optimization.cpp:98-132); here
     views are processed in anchor-pinned chunks of `max_score_views` slots,
-    so no view is dropped for "not fitting" regardless of V.
+    so no view is dropped for "not fitting" regardless of V (or in ONE
+    all-views pass with `sampling_impl="paged"`).
     """
+    if config.sampling_impl == "paged":
+        return _filter_by_error_paged(images, cameras, state, texture_size,
+                                      config)
     B, V = state.vis.shape
     new_vis = jnp.zeros((B, V), bool)
     n_scorable = jnp.zeros((B,), jnp.int32)
@@ -355,6 +459,40 @@ def _filter_by_error_jit(
     return dataclasses.replace(state, vis=new_vis, alive=alive)
 
 
+def _filter_by_error_paged(
+    images: jax.Array,
+    cameras: Cameras,
+    state: PatchState,
+    texture_size: int,
+    config: OptimizeConfig,
+) -> PatchState:
+    """`_filter_by_error_jit` on the single-pass (B, V) score grid.
+
+    Semantics identical to the chunked path: the anchor slot (first
+    visible view) is always kept when the patch has any visibility,
+    payload views survive at `score_threshold`, a patch dies with no
+    scorable views or fewer than `min_visible_views` remaining.
+    """
+    B, V = state.vis.shape
+    scores, anchor, _ = _allview_scores(
+        images, cameras, state.position, state.normal, state.ref,
+        state.vis, texture_size,
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    has = jnp.any(state.vis, axis=1)
+    payload = state.vis & (cols != anchor[:, None])
+    anchor_slot = (cols == anchor[:, None]) & has[:, None]
+    new_vis = anchor_slot | (payload & (scores >= config.score_threshold))
+    n_scorable = jnp.sum(payload, axis=1)
+    n_after = jnp.sum(new_vis, axis=1)
+    alive = (
+        state.alive
+        & (n_scorable > 0)
+        & (n_after >= config.min_visible_views)
+    )
+    return dataclasses.replace(state, vis=new_vis, alive=alive)
+
+
 def optimize_patches(
     images: jax.Array,
     cameras: Cameras,
@@ -388,17 +526,28 @@ def _optimize_patches_jit(
     normals are overwritten with the minimizer result — dead patches keep
     their pose).
     """
-    f = photometric_objective(
-        images,
-        cameras,
-        state.position,
-        state.normal,
-        state.ref,
-        state.vis,
-        texture_size,
-        impl=config.sampling_impl,
-        max_score_views=config.max_score_views,
-    )
+    if config.sampling_impl == "paged":
+        f = photometric_objective_paged(
+            images,
+            cameras,
+            state.position,
+            state.normal,
+            state.ref,
+            state.vis,
+            texture_size,
+        )
+    else:
+        f = photometric_objective(
+            images,
+            cameras,
+            state.position,
+            state.normal,
+            state.ref,
+            state.vis,
+            texture_size,
+            impl=config.sampling_impl,
+            max_score_views=config.max_score_views,
+        )
     B = state.capacity
     x0 = jnp.zeros((B, 3), state.position.dtype)
     init_step = jnp.asarray(
