@@ -98,6 +98,11 @@ class ExpandConfig:
     max_rounds: int = 12  # bulk-synchronous wavefront iterations
     max_patches: int = 1_000_000  # global capacity (reference hard cap 1e7)
     min_visible_views_to_expand: int = 2  # expand.cpp:70
+    max_iterations: int = 0  # Nelder-Mead cap for EXPANSION candidates;
+    # 0 = inherit optimize.max_iterations. Candidates start one grid cell
+    # from a converged parent, so a reduced budget (e.g. 40) converges in
+    # practice — the reference's termination criteria (eps 1e-4 OR cap,
+    # optimization_opencv.cpp:55-64) are unchanged, only the cap differs
 
 
 @dataclasses.dataclass(frozen=True)

@@ -544,6 +544,12 @@ def densify_multihost(
     frontier = state
     f_alive, f_nvis = overhead.pull(*ops.small(frontier))
 
+    # Expansion-specific NM budget (same knob as the single-host driver).
+    expand_opt = config.optimize
+    if config.expand.max_iterations > 0:
+        expand_opt = dataclasses.replace(
+            config.optimize, max_iterations=config.expand.max_iterations
+        )
     with metrics.stage("expand"):
         for round_idx in range(config.expand.max_rounds):
             if total >= config.expand.max_patches:
@@ -558,7 +564,7 @@ def densify_multihost(
             cand = ops.candidates(cams_rep, frontier)
             cand = ops.refine(
                 images_rep, cams_rep, cand,
-                config.expand.texture_size, config.optimize,
+                config.expand.texture_size, expand_opt,
             )
             gids = total + np.arange(cand.capacity, dtype=np.int32)
             accepted, gpad = ops.insert(gpad, cand, gids)

@@ -113,6 +113,12 @@ def expand_patches(
         organizer_config.grid_scale,
         organizer_config.max_patches_per_cell,
     )
+    if expand_config.max_iterations > 0:
+        # Candidates start one grid cell from a converged parent: a
+        # reduced NM budget for expansion only (see ExpandConfig).
+        optimize_config = dataclasses.replace(
+            optimize_config, max_iterations=expand_config.max_iterations
+        )
 
     # Insert seeds (PatchOrganizer::SetSeeds).
     seeds = seeds.compact()

@@ -104,9 +104,54 @@ _CORNERS = np.array(
 )
 
 
+def _build_tet_case_table():
+    """(16, 2, 3, 2) int8: per 4-bit inside-mask, up to 2 triangles of 3
+    edges, each edge a (local vertex, local vertex) pair; -1 = absent.
+
+    Generated from the same case logic the original sequential mesher
+    used (one isolated corner -> one triangle, reversed when the isolated
+    corner is outside; 2-2 split -> quad -> two triangles), so geometry
+    and winding are bit-identical in intent.
+    """
+    table = np.full((16, 2, 3, 2), -1, np.int8)
+    for mask in range(16):
+        inside = [bool(mask >> i & 1) for i in range(4)]
+        n_in = sum(inside)
+        if n_in in (0, 4):
+            continue
+        if n_in in (1, 3):
+            iso = inside.index(True) if n_in == 1 else inside.index(False)
+            others = [i for i in range(4) if i != iso]
+            tri = [(iso, o) for o in others]
+            if n_in == 3:
+                tri = tri[::-1]
+            table[mask, 0] = tri
+        else:
+            ins = [i for i in range(4) if inside[i]]
+            outs = [i for i in range(4) if not inside[i]]
+            q = [
+                (ins[0], outs[0]),
+                (ins[0], outs[1]),
+                (ins[1], outs[1]),
+                (ins[1], outs[0]),
+            ]
+            table[mask, 0] = [q[0], q[1], q[2]]
+            table[mask, 1] = [q[0], q[2], q[3]]
+    return table
+
+
+_TET_CASES = _build_tet_case_table()
+_CORNERS_I = _CORNERS.astype(np.int64)  # (8, 3) x, y, z
+
+
 def marching_tetrahedra(tsdf: np.ndarray, origin, voxel_size, valid=None):
-    """Triangulate the zero level set. Host-side numpy (mesh assembly is
-    pointer-chasing, not array math). Returns (vertices (N,3), faces (M,3)).
+    """Triangulate the zero level set — fully vectorized numpy.
+
+    All straddling cubes' 6 tetrahedra are processed at once through a
+    16-case table; edge vertices are deduplicated globally by canonical
+    integer edge keys via np.unique (the round-3 per-cube Python loop
+    cost 60 s at 192^3; this is array math end to end).
+    Returns (vertices (N, 3) f32, faces (M, 3) int32).
 
     `valid` (R,R,R) bool marks OBSERVED voxels: cubes touching unobserved
     voxels are skipped. Without it, the +truncation fill of unobserved
@@ -118,67 +163,73 @@ def marching_tetrahedra(tsdf: np.ndarray, origin, voxel_size, valid=None):
     R = tsdf.shape[0]
     origin = np.asarray(origin, np.float64)
     vs = float(voxel_size)
+    empty = (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
 
-    verts: list = []
-    faces: list = []
-    vert_cache: dict = {}
-
-    def edge_vertex(p0, p1, v0, v1):
-        key = (tuple(p0), tuple(p1)) if tuple(p0) < tuple(p1) else (tuple(p1), tuple(p0))
-        cached = vert_cache.get(key)
-        if cached is not None:
-            return cached
-        t = v0 / (v0 - v1)
-        pos = origin + vs * (np.asarray(p0) + t * (np.asarray(p1) - np.asarray(p0)))
-        idx = len(verts)
-        verts.append(pos)
-        vert_cache[key] = idx
-        return idx
-
-    # Only iterate cubes that straddle the surface (and, with `valid`,
-    # whose 8 corners were all observed).
     sign = tsdf < 0
     straddles = _cube_straddles(sign)
     if valid is not None:
         straddles &= _cube_all_valid(np.asarray(valid))
     cz, cy, cx = np.nonzero(straddles)
-    for z, y, x in zip(cz, cy, cx):
-        cube_pos = np.array([x, y, z], np.float64)
-        corner_vals = np.array(
-            [tsdf[z + int(c[2]), y + int(c[1]), x + int(c[0])] for c in _CORNERS]
-        )
-        for tet in _TETS:
-            vals = corner_vals[tet]
-            inside = vals < 0
-            n_in = int(inside.sum())
-            if n_in == 0 or n_in == 4:
-                continue
-            pts = [cube_pos + _CORNERS[c] for c in tet]
-            if n_in == 1 or n_in == 3:
-                # One corner isolated -> one triangle.
-                iso = int(np.argmax(inside if n_in == 1 else ~inside))
-                others = [i for i in range(4) if i != iso]
-                tri = [
-                    edge_vertex(pts[iso], pts[o], vals[iso], vals[o])
-                    for o in others
-                ]
-                if n_in == 3:
-                    tri = tri[::-1]
-                faces.append(tri)
-            else:  # 2-2 split -> quad -> two triangles
-                ins = [i for i in range(4) if inside[i]]
-                outs = [i for i in range(4) if not inside[i]]
-                q = [
-                    edge_vertex(pts[ins[0]], pts[outs[0]], vals[ins[0]], vals[outs[0]]),
-                    edge_vertex(pts[ins[0]], pts[outs[1]], vals[ins[0]], vals[outs[1]]),
-                    edge_vertex(pts[ins[1]], pts[outs[1]], vals[ins[1]], vals[outs[1]]),
-                    edge_vertex(pts[ins[1]], pts[outs[0]], vals[ins[1]], vals[outs[0]]),
-                ]
-                faces.append([q[0], q[1], q[2]])
-                faces.append([q[0], q[2], q[3]])
-    if not verts:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
-    return np.asarray(verts, np.float32), np.asarray(faces, np.int32)
+    if len(cz) == 0:
+        return empty
+    cube = np.stack([cx, cy, cz], axis=1).astype(np.int64)  # (Nc, 3)
+
+    # Corner integer coords and values: (Nc, 8, 3) / (Nc, 8).
+    corner_xyz = cube[:, None, :] + _CORNERS_I[None, :, :]
+    vals8 = tsdf[corner_xyz[..., 2], corner_xyz[..., 1], corner_xyz[..., 0]]
+
+    # Tetrahedra: (Nc, 6, 4) values, (Nc, 6, 4, 3) coords, 4-bit cases.
+    vals_t = vals8[:, _TETS]
+    xyz_t = corner_xyz[:, _TETS]
+    inside = vals_t < 0
+    case = (
+        inside[..., 0] * 1
+        + inside[..., 1] * 2
+        + inside[..., 2] * 4
+        + inside[..., 3] * 8
+    )  # (Nc, 6)
+
+    tris = _TET_CASES[case]  # (Nc, 6, 2, 3, 2) local edge pairs
+    has_tri = tris[..., 0, 0] >= 0  # (Nc, 6, 2)
+    ci, ti, wi = np.nonzero(has_tri)
+    if len(ci) == 0:
+        return empty
+    edges = tris[ci, ti, wi].astype(np.int64)  # (T, 3, 2) local ids
+
+    # Gather endpoint coords/values per triangle edge: (T, 3, 2, 3)/(T, 3, 2)
+    tet_xyz = xyz_t[ci, ti]  # (T, 4, 3)
+    tet_val = vals_t[ci, ti]  # (T, 4)
+    ar = np.arange(len(ci))[:, None, None]
+    e_xyz = tet_xyz[ar, edges]  # (T, 3, 2, 3)
+    e_val = tet_val[ar, edges]  # (T, 3, 2)
+
+    # Canonical integer edge keys (grid-point id pairs, sorted).
+    pid = (e_xyz[..., 2] * R + e_xyz[..., 1]) * R + e_xyz[..., 0]  # (T,3,2)
+    swap = pid[..., 0] > pid[..., 1]
+    key = np.where(swap, pid[..., 1], pid[..., 0]) * (R * R * R) + np.where(
+        swap, pid[..., 0], pid[..., 1]
+    )
+    uniq, inv = np.unique(key.reshape(-1), return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int32)
+
+    # Zero-crossing positions for the unique edges (decode the key; the
+    # interpolation formula is symmetric in endpoint order).
+    id0 = uniq // (R * R * R)
+    id1 = uniq % (R * R * R)
+
+    def decode(i):
+        x = i % R
+        y = (i // R) % R
+        z = i // (R * R)
+        return np.stack([x, y, z], axis=1).astype(np.float64)
+
+    p0 = decode(id0)
+    p1 = decode(id1)
+    v0 = tsdf[p0[:, 2].astype(int), p0[:, 1].astype(int), p0[:, 0].astype(int)]
+    v1 = tsdf[p1[:, 2].astype(int), p1[:, 1].astype(int), p1[:, 0].astype(int)]
+    t = (v0 / (v0 - v1))[:, None]
+    verts = (origin + vs * (p0 + t * (p1 - p0))).astype(np.float32)
+    return verts, faces
 
 
 def _cube_all_valid(valid: np.ndarray) -> np.ndarray:

@@ -61,6 +61,14 @@ def main(argv=None) -> int:
                    "numerics; 49 (1 chunk) is slower again (kernel "
                    "M-loop too long)")
     p.add_argument("--threshold-mm", type=float, default=2.0)
+    p.add_argument("--impl", default="auto",
+                   help="sampling_impl: auto (chunked fused) | paged "
+                   "(round-4 view-sorted page-resident kernel, all views "
+                   "in one pass) | xla")
+    p.add_argument("--expand-nm-iters", type=int, default=0,
+                   help="Nelder-Mead cap for EXPANSION candidates only "
+                   "(0 = same as --nm-iters); candidates start one grid "
+                   "cell from a converged parent, so ~40 converges")
     p.add_argument("--surface", action="store_true",
                    help="also extract a TSDF surface and report mesh-vertex "
                    "distance to the analytic sphere (BASELINE config-5 "
@@ -117,8 +125,12 @@ def main(argv=None) -> int:
             "optimize": {
                 "max_iterations": args.nm_iters,
                 "max_score_views": args.score_views,
+                "sampling_impl": args.impl,
             },
-            "expand": {"max_rounds": args.max_rounds},
+            "expand": {
+                "max_rounds": args.max_rounds,
+                "max_iterations": args.expand_nm_iters,
+            },
             # Scan-scale filter preset, picked with data (FILTER_SWEEP_r03
             # .json): ~halves exact mean error vs the toy-safe library
             # defaults at a 1.3% completeness cost.
@@ -183,6 +195,8 @@ def main(argv=None) -> int:
             "nm_iterations": args.nm_iters,
             "max_score_views": args.score_views,
             "expand_max_rounds": args.max_rounds,
+            "sampling_impl": args.impl,
+            "expand_nm_iterations": args.expand_nm_iters,
         },
         "patches": patches,
         "densify_seconds": round(t_densify, 2),
