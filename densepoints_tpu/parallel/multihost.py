@@ -528,29 +528,45 @@ def densify_multihost(
             )
 
     overhead = _Overhead()
-    ids0 = np.arange(state.capacity, dtype=np.int32)
-    accepted, gpad = ops.insert(gpad, state, ids0)
-    overhead.count_insert(state.capacity, Vp)
-    alive, nvis = ops.small(state)
-    accepted, alive, nvis = overhead.pull(accepted, alive, nvis)
-    keep = alive & accepted
-    state = ops.compact_to(state, keep)
-    total = int(np.sum(keep))
-    log.info("multihost: %d seeds inserted", total)
-
-    # state/frontier stay device-sharded; parts accumulate per-round
-    # accepted patches (concatenated once at the end).
-    parts = [state]
-    frontier = state
-    f_alive, f_nvis = overhead.pull(*ops.small(frontier))
-
     # Expansion-specific NM budget (same knob as the single-host driver).
     expand_opt = config.optimize
     if config.expand.max_iterations > 0:
         expand_opt = dataclasses.replace(
             config.optimize, max_iterations=config.expand.max_iterations
         )
-    with metrics.stage("expand"):
+
+    # Coarse-to-fine levels (same semantics as the single-host
+    # densify_multiscale, pmvs/pipeline.py:238-245): seed insertion +
+    # wavefront rounds at the coarsest level, then at each finer level the
+    # carried-over patches are re-optimized/re-filtered against the finer
+    # textures and expanded further. Level 0 (finest) reuses the full-res
+    # ops/grids built above, so levels == 1 is exactly the round-3 flow.
+    levels = max(1, config.multiscale.levels)
+    if levels > 1:
+        from densepoints_tpu.multiscale import build_pyramid
+
+        pyramid = build_pyramid(jnp.asarray(scene.images), cameras, levels)
+
+    def expand_rounds(ops_l, gpad_l, cams_l_rep, images_l_rep, state, Vp_l):
+        """Seed insertion + wavefront rounds on one pyramid level.
+
+        Returns the level's full sharded state (accepted patches only).
+        """
+        ids0 = np.arange(state.capacity, dtype=np.int32)
+        accepted, gpad_l = ops_l.insert(gpad_l, state, ids0)
+        overhead.count_insert(state.capacity, Vp_l)
+        alive, nvis = ops_l.small(state)
+        accepted, alive, nvis = overhead.pull(accepted, alive, nvis)
+        keep = alive & accepted
+        state = ops_l.compact_to(state, keep)
+        total = int(np.sum(keep))
+        log.info("multihost: %d seeds inserted", total)
+
+        # state/frontier stay device-sharded; parts accumulate per-round
+        # accepted patches (concatenated once at the end).
+        parts = [state]
+        frontier = state
+        f_alive, f_nvis = overhead.pull(*ops_l.small(frontier))
         for round_idx in range(config.expand.max_rounds):
             if total >= config.expand.max_patches:
                 break
@@ -560,16 +576,16 @@ def densify_multihost(
             n_front = int(np.sum(expandable))
             if n_front == 0:
                 break
-            frontier = ops.compact_to(frontier, expandable)
-            cand = ops.candidates(cams_rep, frontier)
-            cand = ops.refine(
-                images_rep, cams_rep, cand,
+            frontier = ops_l.compact_to(frontier, expandable)
+            cand = ops_l.candidates(cams_l_rep, frontier)
+            cand = ops_l.refine(
+                images_l_rep, cams_l_rep, cand,
                 config.expand.texture_size, expand_opt,
             )
             gids = total + np.arange(cand.capacity, dtype=np.int32)
-            accepted, gpad = ops.insert(gpad, cand, gids)
-            overhead.count_insert(cand.capacity, Vp)
-            c_alive, c_nv = ops.small(cand)
+            accepted, gpad_l = ops_l.insert(gpad_l, cand, gids)
+            overhead.count_insert(cand.capacity, Vp_l)
+            c_alive, c_nv = ops_l.small(cand)
             accepted, c_alive = overhead.pull(accepted, c_alive)
             new_keep = c_alive & accepted
             n_new = int(np.sum(new_keep))
@@ -582,17 +598,91 @@ def densify_multihost(
             )
             if n_new == 0:
                 break
-            new_patches = ops.compact_to(cand, new_keep)
+            new_patches = ops_l.compact_to(cand, new_keep)
             parts.append(new_patches)
             total += n_new
             frontier = new_patches
-            f_alive, f_nvis = overhead.pull(*ops.small(frontier))
+            f_alive, f_nvis = overhead.pull(*ops_l.small(frontier))
+        return (
+            parts[0] if len(parts) == 1 else ops_l.concat(parts),
+            total,
+        )
+
+    with metrics.stage("expand"):
+        for li, lvl in enumerate(range(levels - 1, 0, -1)):
+            # Coarser levels: fresh ops/grids bound to the level cameras.
+            images_l, cams_l = pyramid[lvl]
+            images_l_rep = jax.device_put(jnp.asarray(images_l), rep)
+            cams_l_rep = jax.tree.map(
+                lambda a: jax.device_put(jnp.asarray(a), rep), cams_l
+            )
+            spec_l = make_grids(
+                cams_l, scale, config.organizer.max_patches_per_cell
+            )
+            gpad_l = pad_views(spec_l, n_dev)
+            Vp_l = gpad_l.cells.shape[0]
+            gpad_l = dataclasses.replace(
+                gpad_l,
+                cells=jax.device_put(
+                    gpad_l.cells, NamedSharding(mesh, P(PATCH_AXIS))
+                ),
+            )
+            ops_l = _ShardedOps(
+                mesh, cams_l_rep, images_l_rep, config, spec_l, Vp_l
+            )
+            if li > 0:
+                # Carried-over patches: refine against this level's finer
+                # textures (multiscale/pyramid.py order: optimize ->
+                # filter -> compact).
+                state = ops_l.place(state_host)
+                state = ops_l.seed_optimize(
+                    images_l_rep, cams_l_rep, state,
+                    config.seed.texture_size, config.optimize,
+                )
+                state = ops_l.seed_filter(
+                    images_l_rep, cams_l_rep, state,
+                    config.seed.texture_size, config.optimize,
+                )
+                alive, _ = ops_l.small(state)
+                state = ops_l.compact_to(state, np.asarray(alive))
+            log.info(
+                "multihost multiscale level %d: %dx%d",
+                lvl, int(cams_l.width[0]), int(cams_l.height[0]),
+            )
+            full_l, _ = expand_rounds(
+                ops_l, gpad_l, cams_l_rep, images_l_rep, state, Vp_l
+            )
+            # Per-level filtering on gathered state (single-host parity).
+            host_l = _replicated_host_state(ops_l, full_l)
+            lvl_state = run_filters(
+                cams_l,
+                jax.tree.map(jnp.asarray, host_l),
+                config.filter,
+                config.optimize,
+                scale,
+            ).compact()
+            state_host = jax.tree.map(np.asarray, lvl_state)
+
+        if levels > 1:
+            # Finest level: carried-over refine against full resolution.
+            state = ops.place(state_host)
+            state = ops.seed_optimize(
+                images_rep, cams_rep, state,
+                config.seed.texture_size, config.optimize,
+            )
+            state = ops.seed_filter(
+                images_rep, cams_rep, state,
+                config.seed.texture_size, config.optimize,
+            )
+            alive, _ = ops.small(state)
+            state = ops.compact_to(state, np.asarray(alive))
+        full, total = expand_rounds(
+            ops, gpad, cams_rep, images_rep, state, Vp
+        )
     metrics.count("patches_after_expand", total)
     metrics.count("overhead_host_bytes", overhead.host_bytes)
     metrics.count("overhead_host_sync_s", round(overhead.host_sync_s, 4))
     metrics.count("overhead_collective_bytes", overhead.collective_bytes)
-
-    full = parts[0] if len(parts) == 1 else ops.concat(parts)
 
     with metrics.stage("filter"):
         # The one full gather of the run: filtering/compaction/export need

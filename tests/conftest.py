@@ -28,13 +28,37 @@ if not _USE_TPU:
     # Persistent compilation cache: recompiles dominate the suite's wall
     # time (~650 s cold). XLA:CPU only persists its kernels when the
     # xla-caches knob is on; warm runs then skip most compile work.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", "/tmp/densepoints_jax_cache"
-        ),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # The cache dir is keyed by a host-CPU fingerprint: XLA:CPU AOT
+    # entries encode the COMPILE machine's features, and loading entries
+    # from a different machine generation produces numerically different
+    # kernels than fresh compiles — which broke 1-dev == 8-dev
+    # determinism tests (the two programs have different cache keys, so
+    # one could hit a stale entry while the other compiled fresh).
+    def _host_tag() -> str:
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        return hashlib.md5(line.encode()).hexdigest()[:10]
+        except OSError:
+            pass
+        import platform
+
+        return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+    if os.environ.get("DENSEPOINTS_NO_CACHE") != "1":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                f"/tmp/densepoints_jax_cache_{_host_tag()}",
+            ),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
     try:
         jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
     except Exception:  # older jax without the knob

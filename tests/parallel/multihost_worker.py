@@ -5,7 +5,7 @@ jax.distributed job; all processes run the SAME deterministic pipeline and
 must produce the SAME cloud (SURVEY.md §4 "multi-host tests via
 jax.distributed with multi-process CPU").
 
-Usage: python multihost_worker.py <pid> <nproc> <port> <out.npz>
+Usage: python multihost_worker.py <pid> <nproc> <port> <out.npz> [levels]
 """
 import dataclasses
 import os
@@ -17,6 +17,7 @@ pid, nproc, port, out = (
     sys.argv[3],
     sys.argv[4],
 )
+levels = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 devices_per_proc = 8 // nproc
 os.environ["XLA_FLAGS"] = (
     f"--xla_force_host_platform_device_count={devices_per_proc}"
@@ -55,7 +56,9 @@ pts = np.concatenate([xy, np.zeros((40, 1))], 1).astype(np.float32)
 
 cfg = PipelineConfig()
 cfg = dataclasses.replace(
-    cfg, expand=dataclasses.replace(cfg.expand, max_rounds=2)
+    cfg,
+    expand=dataclasses.replace(cfg.expand, max_rounds=2),
+    multiscale=dataclasses.replace(cfg.multiscale, levels=levels),
 )
 res = densify_multihost(scene, cfg, seed_points=pts)
 np.savez(
