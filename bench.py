@@ -1,23 +1,33 @@
-"""Headline benchmark: photometric patch-refinement throughput on one chip.
+"""Headline benchmark: END-TO-END densification throughput on one chip.
 
-Prints ONE JSON line:
-  {"metric": "patches_per_sec", "value": N, "unit": "patches/s",
-   "vs_baseline": R}
+Prints ONE JSON line (the last line wins; an identical-schema early line
+is emitted before the slow e2e section so driver timeouts still carry a
+parseable result):
 
-The metric is end-to-end refine throughput — batched Nelder-Mead over
-(depth, roll, pitch) with the full warp+NCC objective (texture 11, 30 NM
-iterations, 8 views per patch) — the work the reference does per patch in
-`OptimizationOpenCV::Optimize` (optimization_opencv.cpp:44-78), measured in
-patches/second.
+  {"metric": "e2e_patches_per_sec", "value": N, "unit": "patches/s",
+   "vs_baseline": R, ...}
+
+vs_baseline compares against the 100 patches/s end-to-end bar set by the
+round-3 verdict ("e2e >= 100 patches/s"); the reference itself publishes
+no numbers (BASELINE.md) and cannot run at all (its pipeline is
+unfinished, reference README.md:3).
+
+Components measured (all on the real chip):
+  * refine_patches_per_sec — batched Nelder-Mead refinement throughput at
+    the classic bench shape (8 views, 4096 patches, texture 11, 30 NM
+    iters): the round-1..3 headline, kept for cross-round comparability
+    (old nominal: 10k patches/s).
+  * kernel — the round-4 paged warp+NCC kernel at the same shape:
+    ms per all-views scoring pass and fraction of the issued-flop MXU
+    roofline (see scripts/kernel_roofline.py for the bound model).
+  * e2e — seed points -> refine -> expand -> filter -> color on a
+    textured-sphere scene (12 views, 512x384), warm-run timed with stage
+    breakdown; compile overhead = cold minus warm.
 
 Measurement protocol: the remote-tunnel runtime memoizes identical calls
-and completes dispatches lazily, so REPS repetitions run INSIDE one jitted
-fori_loop with per-iteration input perturbation, and a scalar derived from
-every repetition's output is fetched to the host to force completion.
-
-The reference publishes no numbers (BASELINE.md), so vs_baseline is
-measured against a fixed nominal target of 10_000 patches/s/chip (the
-BASELINE.json ladder's entry bar); values > 1 beat it.
+and completes dispatches lazily, so repetitions run INSIDE one jitted
+fori_loop with per-iteration input perturbation, and a scalar derived
+from every repetition's output is fetched to force completion.
 """
 from __future__ import annotations
 
@@ -26,7 +36,8 @@ import time
 
 import numpy as np
 
-NOMINAL_BASELINE_PATCHES_PER_SEC = 10_000.0
+E2E_BASELINE_PATCHES_PER_SEC = 100.0  # VERDICT r3 task 1 bar
+REFINE_NOMINAL_PATCHES_PER_SEC = 10_000.0  # rounds 1-3 ladder entry bar
 
 
 def main():
@@ -85,117 +96,112 @@ def main():
     fn = jax.jit(run)
     float(fn(images, cams, state, 0.0))  # compile + first run
     start = time.perf_counter()
-    # Different seed -> different call signature for the runtime's memo
-    # cache; the scalar fetch forces completion of all reps.
     float(fn(images, cams, state, 1.0))
-    elapsed = time.perf_counter() - start
+    refine_pps = num_patches * reps / (time.perf_counter() - start)
 
-    pps = num_patches * reps / elapsed
+    # --- paged kernel: one all-views scoring pass at the refine shape ---
+    from densepoints_tpu.ops.warp_ncc_paged import paged_all_scores
 
-    # --- kernel roofline fraction (VERDICT r2 task 4) -------------------
-    # Time the fused kernel alone at the refine shape and compare against
-    # the analytic issue bounds (same model as scripts/kernel_roofline.py:
-    # MXU = one-hot gather matmuls at 197 TFLOP/s bf16; the VPU estimate
-    # covers the hat builds/blends the matmuls depend on).
-    from densepoints_tpu.ops.warp_ncc import WIN_H, WIN_W, warp_ncc_scores
+    kreps = 20
 
-    M = 8
-    S = -(-(texture_size * texture_size) // 128) * 128
-    images2 = jnp.concatenate(
-        [images, jnp.pad(images[:, :, 64:], ((0, 0), (0, 0), (0, 64)))],
-        axis=0,
-    )
-    kr = np.random.default_rng(1)
-    y0 = jnp.asarray(kr.integers(0, (H - WIN_H) // 8,
-                                 (num_patches, M)).astype(np.int32) * 8)
-    m64 = kr.integers(0, (W - WIN_W) // 64, (num_patches, M)).astype(np.int32)
-    x0 = jnp.asarray(64 * (m64 - m64 % 2))
-    views = jnp.asarray(
-        kr.integers(0, num_views, (num_patches, M)).astype(np.int32)
-        + (m64 % 2) * num_views
-    )
-    coords = jnp.asarray(
-        kr.uniform(10, 40, (num_patches, M, 2, S)).astype(np.float32)
-    )
+    def krun(images, position, normal, refs, vis, seed):
+        from densepoints_tpu.pmvs.optimize import _paged_loop_invariants
 
-    def kbody(images2, y0, x0, views, coords, seed):
+        pages, plan, plan_a = _paged_loop_invariants(images, vis)
+
         def body(i, acc):
-            c = coords + (seed + i.astype(jnp.float32)) * 1e-3
-            out = warp_ncc_scores(
-                images2, y0, x0, views, c, texture_size * texture_size
+            p = position + (seed + i.astype(jnp.float32)) * 1e-4
+            scores, _, _ = paged_all_scores(
+                images, cams, p, normal, refs, vis, texture_size,
+                pages=pages, plan=plan, plan_a=plan_a,
             )
-            return acc + jnp.sum(out) * 1e-6
-        return jax.lax.fori_loop(0, 20, body, 0.0)
+            return acc + jnp.sum(scores) * 1e-6
 
-    kfn = jax.jit(kbody)
-    float(kfn(images2, y0, x0, views, coords, 0.0))
+        return jax.lax.fori_loop(0, kreps, body, 0.0)
+
+    kfn = jax.jit(krun)
+    args = (
+        images,
+        jnp.asarray(position),
+        jnp.asarray(normal),
+        jnp.asarray(refs),
+        jnp.asarray(vis),
+    )
+    float(kfn(*args, 0.0))
     t = time.perf_counter()
-    float(kfn(images2, y0, x0, views, coords, 1.0))
-    kdt = (time.perf_counter() - t) / 20
-    flops = num_patches * M * 2 * (2 * WIN_H * WIN_W * S)
+    float(kfn(*args, 1.0))
+    kdt = (time.perf_counter() - t) / kreps
+    n_slots = int(vis.sum()) + num_patches  # payload + anchor passes
+    # Issued-flop MXU bound (two one-hot matmuls per slot, bf16).
+    from densepoints_tpu.ops.warp_ncc import WIN_H, WIN_W
+
+    S = -(-(texture_size * texture_size) // 128) * 128
+    flops = n_slots * 2 * (2 * WIN_H * WIN_W * S)
     t_mxu = flops / 197e12
-    vpu_ops = num_patches * (
-        8 * M * S * WIN_W + 4 * WIN_H * M * S + M * 5 * WIN_H * S
-        + 10 * M * S
-    )
-    t_vpu = vpu_ops / 4e12
 
-    # Emit the headline line NOW: the densify section below adds minutes
-    # of stage compiles, and if an external timeout cuts the run short the
-    # tail still carries a parseable result (the full line re-prints last).
-    print(
-        json.dumps(
-            {
-                "metric": "patches_per_sec",
-                "value": round(pps, 1),
-                "unit": "patches/s",
-                "vs_baseline": round(pps / NOMINAL_BASELINE_PATCHES_PER_SEC, 3),
-                "kernel_ms_per_call": round(kdt * 1e3, 3),
-                "fraction_of_roofline": round(t_mxu / kdt, 3),
-                "fraction_of_compute_bound": round((t_mxu + t_vpu) / kdt, 3),
-            }
+    early = {
+        "metric": "e2e_patches_per_sec",
+        "value": None,  # filled by the full line below
+        "unit": "patches/s",
+        "vs_baseline": None,
+        "refine_patches_per_sec": round(refine_pps, 1),
+        "refine_vs_10k_nominal": round(
+            refine_pps / REFINE_NOMINAL_PATCHES_PER_SEC, 3
         ),
-        flush=True,
+        "kernel_ms_per_pass": round(kdt * 1e3, 3),
+        "kernel_slot_scores_per_sec": round(n_slots / kdt, 0),
+        "fraction_of_roofline": round(t_mxu / kdt, 3),
+    }
+    # Early insurance line: if the e2e section is cut short by an external
+    # timeout, the tail still carries the kernel/refine numbers (value
+    # falls back to the refine throughput against its own nominal).
+    early_line = dict(early)
+    early_line["value"] = round(refine_pps, 1)
+    early_line["vs_baseline"] = round(
+        refine_pps / REFINE_NOMINAL_PATCHES_PER_SEC, 3
     )
+    early_line["note"] = "early line: e2e section pending"
+    print(json.dumps(early_line), flush=True)
 
-    # --- end-to-end densify throughput (VERDICT r2 weak #5) -------------
-    # Seeded textured plane through refine -> expand -> insert -> filter
-    # (detection skipped: seed_points injected, keeping the bench bounded;
-    # the kernel path above is the same one seeding exercises).
+    # --- end-to-end densify throughput --------------------------------
+    # Textured sphere (the DTU-scale scene family at bench size) from
+    # seed points through refine -> expand -> filter -> color; the warm
+    # run is the throughput number, cold-warm the compile overhead.
     import pathlib
     import sys as _sys
 
     _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "tests"))
-    from synthetic import TexturedPlaneScene
+    from synthetic import TexturedSphereScene
 
     from densepoints_tpu.config import load_config
     from densepoints_tpu.io.scene import Scene
+    from densepoints_tpu.pmvs.pipeline import _densify_from
+    from densepoints_tpu.pmvs.seed import create_patches_from_points
+    from densepoints_tpu.pmvs.optimize import filter_by_error
+    from densepoints_tpu.utils import StageMetrics
 
-    sc = TexturedPlaneScene(rng, num_views=5, width=320, height=240)
+    sc = TexturedSphereScene(
+        rng, num_views=12, width=512, height=384, focal=900.0,
+        radius=60.0, cam_radius=650.0, tex_size=2048, layout="grid",
+        yaw_span=0.9, pitch_span=0.45,
+    )
     dcams = Cameras.from_projection_matrices(
         sc.P, widths=sc.width, heights=sc.height
     )
     dscene = Scene(cameras=dcams, images=sc.render_all(), colors=None)
-    g = np.linspace(-0.6, 0.6, 32)
-    gx, gy = np.meshgrid(g, g)
-    seeds = np.stack(
-        [gx.ravel(), gy.ravel(), np.zeros(gx.size)], 1
-    ).astype(np.float32)
+    g_rng = np.random.default_rng(7)
+    seeds = g_rng.standard_normal((1500, 3)).astype(np.float32)
+    seeds *= 60.0 / np.linalg.norm(seeds, axis=1, keepdims=True)
     dcfg = load_config(
-        {"expand": {"max_rounds": 3}, "optimize": {"max_iterations": 60}}
+        {
+            "profile": "scan",
+            "expand": {"max_rounds": 4, "max_iterations": 40},
+            "optimize": {"max_iterations": 120},
+        }
     )
-    from densepoints_tpu.pmvs.pipeline import _densify_from
-    from densepoints_tpu.pmvs.seed import create_patches_from_points
-    from densepoints_tpu.pmvs.optimize import (
-        filter_by_error,
-        optimize_patches,
-    )
-    from densepoints_tpu.utils import StageMetrics
 
     def one_densify(jitter):
-        # Per-run input perturbation: the remote tunnel memoizes identical
-        # dispatches, so a byte-identical warm run would be free.
-        t = time.perf_counter()
+        t0 = time.perf_counter()
         dimages = jnp.asarray(dscene.images)
         st = create_patches_from_points(
             dcams, seeds + jitter, dcfg.optimize, dcfg.seed
@@ -206,37 +212,33 @@ def main():
         st = optimize_patches(
             dimages, dcams, st, dcfg.seed.texture_size, dcfg.optimize
         )
+        metrics = StageMetrics()
         result = _densify_from(
-            dimages, dcams, dscene, dcfg, StageMetrics(), st,
-            "seeds_optimized",
+            dimages, dcams, dscene, dcfg, metrics, st, "seeds_optimized"
         )
-        return result, time.perf_counter() - t
+        return result, metrics, time.perf_counter() - t0
 
-    result, ddt_cold = one_densify(0.0)  # includes all stage compiles
-    result, ddt = one_densify(1e-4)  # warm: the actual throughput number
+    _, _, ddt_cold = one_densify(0.0)  # includes all stage compiles
+    result, metrics, ddt = one_densify(1e-4)  # warm: the throughput run
     n_final = result.patches.capacity
+    e2e_pps = n_final / ddt
 
-    print(
-        json.dumps(
-            {
-                "metric": "patches_per_sec",
-                "value": round(pps, 1),
-                "unit": "patches/s",
-                "vs_baseline": round(pps / NOMINAL_BASELINE_PATCHES_PER_SEC, 3),
-                "kernel_ms_per_call": round(kdt * 1e3, 3),
-                "kernel_bound_ms": {
-                    "mxu": round(t_mxu * 1e3, 3),
-                    "vpu_model": round(t_vpu * 1e3, 3),
-                },
-                "fraction_of_roofline": round(t_mxu / kdt, 3),
-                "fraction_of_compute_bound": round((t_mxu + t_vpu) / kdt, 3),
-                "densify_seconds": round(ddt, 2),
-                "densify_cold_seconds": round(ddt_cold, 2),
-                "densify_patches_final": n_final,
-                "densify_patches_per_sec": round(n_final / ddt, 1),
-            }
-        )
+    full = dict(early)
+    full["value"] = round(e2e_pps, 1)
+    full["vs_baseline"] = round(e2e_pps / E2E_BASELINE_PATCHES_PER_SEC, 3)
+    full.update(
+        {
+            "densify_seconds": round(ddt, 2),
+            "densify_cold_seconds": round(ddt_cold, 2),
+            "compile_overhead_seconds": round(ddt_cold - ddt, 2),
+            "densify_patches_final": n_final,
+            "stage_seconds": {
+                k: round(v, 2) for k, v in metrics.times.items()
+            },
+            "e2e_scene": {"views": 12, "width": 512, "height": 384},
+        }
     )
+    print(json.dumps(full), flush=True)
 
 
 if __name__ == "__main__":

@@ -22,3 +22,15 @@ Layout (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+# Geometry correctness contract: f32 matmuls/einsums must be computed at
+# f32 accuracy. On TPU the default matmul precision routes f32 operands
+# through the MXU in bfloat16, which corrupts projective geometry (camera
+# einsums, DLT, BA normal equations) by whole pixels — measured 0.13 mean
+# NCC error at scan scenes (round 4; the round-3 scoring paths carried
+# this silently). The compute-heavy kernels are unaffected: they feed the
+# MXU bf16 operands EXPLICITLY by design (one-hot sampling matmuls,
+# Hamming descriptor matmuls).
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -81,12 +81,14 @@ class OptimizeConfig:
     # many patches per device dispatch (the NM init evaluates 4 simplex
     # points per patch, so coordinate tensors scale with 4*B*M*k^2 —
     # unsliced 16k-patch batches exceed HBM at DTU view counts)
-    sampling_impl: str = "auto"  # auto | fused | xla | paged.
-    # auto/fused/xla: anchor-pinned chunked scoring (fused = the Pallas
-    # DMA/resident warp+NCC kernel, auto picks it on TPU, ~6x XLA).
-    # paged: the round-4 view-sorted page-resident kernel — ONE all-views
-    # pass per evaluation, anchor texture computed once, work scales
-    # with sum(vis) (XLA equivalent off-TPU).
+    sampling_impl: str = "auto"  # auto | paged | fused | xla.
+    # auto == paged (the round-4 default): the view-sorted page-resident
+    # kernel — ONE all-views pass per evaluation, anchor texture computed
+    # once, work scales with sum(vis); XLA equivalent off-TPU. Measured
+    # 1.5x the chunked fused kernel at scan shapes and ~2x accepted patch
+    # density at better exact accuracy (21-view A/B).
+    # fused/xla: the round-3 anchor-pinned chunked scoring (fused = the
+    # Pallas DMA/resident warp+NCC kernel on TPU, xla = gather path).
     visible_angle: float = 0.78  # rad, truly-visible cone (patch.h:56)
     candidate_angle: float = 1.04  # rad, potentially-visible cone (patch.h:57)
     depth_sweep_steps: int = 0  # > 1 enables a depth-sweep re-init before

@@ -44,6 +44,10 @@ def hamming_distance_matrix(desc1: jax.Array, desc2: jax.Array) -> jax.Array:
         desc2.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        # Explicit DEFAULT: descriptors are +-1 (exact in bf16); the
+        # package-wide "highest" matmul precision is for f32 GEOMETRY and
+        # would only slow this down.
+        precision=jax.lax.Precision.DEFAULT,
     )
     return 0.5 * (D - dot)
 

@@ -191,10 +191,12 @@ def _kernel_factory(M: int, S: int, n_real: int, resident: bool):
                 left = jax.lax.dot_general(
                     roi, E[m * S:(m + 1) * S], dims,
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 )  # (WIN_H, S)
                 right = jax.lax.dot_general(
                     roi, E2[m * S:(m + 1) * S], dims,
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 )
                 fxm = fx[m * S:(m + 1) * S].reshape(1, S)
                 prof = left + fxm * (right - left)  # (WIN_H, S)

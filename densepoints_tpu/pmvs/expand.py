@@ -75,16 +75,31 @@ def make_expansion_candidates(
     )
 
 
-def _pad_bucket(state: PatchState, minimum: int = 256) -> PatchState:
-    """Pad capacity to the next power of two (>= minimum).
+def _pad_bucket(
+    state: PatchState, minimum: int = 256, quantum: int = 0
+) -> PatchState:
+    """Pad capacity to a small set of bucket shapes.
 
-    Keeps the set of shapes the jitted optimize/filter stages see tiny, so
-    expansion rounds hit the compilation cache instead of retracing.
+    Small batches go to the next power of two (>= minimum); batches above
+    quantum // 2 go to a MULTIPLE of `quantum` (= max_refine_batch), so
+    every big dispatch the `_sliced` stages see is exactly quantum-shaped
+    — ONE compiled program instead of one per power of two. Mid-run
+    recompiles through the remote-compile tunnel cost 30-60 s each
+    (ROUND3_NOTES #3); dead padded lanes are nearly free with the paged
+    kernel (no visibility -> no slots -> steps skipped).
     """
     P = state.capacity
-    target = minimum
-    while target < P:
-        target *= 2
+    if quantum:
+        # Exactly TWO shapes ever: quantum//4 for small frontiers, k*quantum
+        # (sliced to quantum-sized dispatches) for everything else.
+        if P > quantum // 4:
+            target = -(-P // quantum) * quantum
+        else:
+            target = quantum // 4
+    else:
+        target = minimum
+        while target < P:
+            target *= 2
     if target == P:
         return state
     pad = target - P
@@ -149,7 +164,15 @@ def expand_patches(
         cand = make_expansion_candidates(
             cameras, frontier, organizer_config.grid_scale
         )
-        cand = _pad_bucket(cand)
+        # Shape quantization is an accelerator concern (dead padded lanes
+        # are nearly free there via the paged kernel's step skipping; on
+        # CPU the padding would dominate test wall time).
+        quantum = (
+            optimize_config.max_refine_batch
+            if jax.default_backend() != "cpu"
+            else 0
+        )
+        cand = _pad_bucket(cand, quantum=quantum)
         # Optimize candidates at the expansion texture size (11), then
         # re-classify visibility and NCC-filter (expand.cpp:128-137).
         cand = optimize_patches(
