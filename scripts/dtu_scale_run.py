@@ -61,6 +61,10 @@ def main(argv=None) -> int:
                    "numerics; 49 (1 chunk) is slower again (kernel "
                    "M-loop too long)")
     p.add_argument("--threshold-mm", type=float, default=2.0)
+    p.add_argument("--grid-scale", type=int, default=8,
+                   help="occupancy cell size in px (patch_organizer.h:46 "
+                   "default 8); 4 doubles linear patch density — the "
+                   "standard PMVS density knob")
     p.add_argument("--impl", default="auto",
                    help="sampling_impl: auto (chunked fused) | paged "
                    "(round-4 view-sorted page-resident kernel, all views "
@@ -111,7 +115,8 @@ def main(argv=None) -> int:
 
     ckpt_dir = (
         f"/tmp/dtu_ckpt_{args.views}x{args.width}x{args.height}"
-        f"_kp{args.kp}_pc{args.max_per_cell}"
+        f"_kp{args.kp}_pc{args.max_per_cell}_r{args.radius:g}"
+        f"_f{args.focal:g}_d{args.cam_radius:g}"
     )
     config = load_config(
         {
@@ -131,6 +136,7 @@ def main(argv=None) -> int:
                 "max_rounds": args.max_rounds,
                 "max_iterations": args.expand_nm_iters,
             },
+            "organizer": {"grid_scale": args.grid_scale},
             # Scan-scale filter preset, picked with data (FILTER_SWEEP_r03
             # .json): ~halves exact mean error vs the toy-safe library
             # defaults at a 1.3% completeness cost.
@@ -195,6 +201,7 @@ def main(argv=None) -> int:
             "nm_iterations": args.nm_iters,
             "max_score_views": args.score_views,
             "expand_max_rounds": args.max_rounds,
+            "grid_scale": args.grid_scale,
             "sampling_impl": args.impl,
             "expand_nm_iterations": args.expand_nm_iters,
         },
