@@ -101,18 +101,34 @@ def load_scene(path, keep_color: bool = True, drop_missing: bool = True) -> Scen
     V = len(loadable)
     images = np.zeros((V, H, W), np.float32)
     colstack = np.zeros((V, H, W, 3), np.uint8) if keep_color else None
-    Ps = []
-    for i, idx in enumerate(loadable):
-        with Image.open(spec.image_paths[idx]) as im:
-            rgb = np.asarray(im.convert("RGB"))
-        h, w = rgb.shape[:2]
-        images[i, :h, :w] = _luminance(rgb)
+    Ps, kept_sizes = [], []
+    n = 0
+    for idx, size in zip(loadable, sizes):
+        # Decode can still fail even though the header parsed (truncated
+        # pixel data, file replaced between passes): keep the
+        # drop-unloadable contract (pmvs.cpp:15-19) here too.
+        try:
+            with Image.open(spec.image_paths[idx]) as im:
+                rgb = np.asarray(im.convert("RGB"))
+        except (FileNotFoundError, OSError):
+            if drop_missing:
+                continue
+            raise
+        h, w = min(rgb.shape[0], H), min(rgb.shape[1], W)
+        images[n, :h, :w] = _luminance(rgb[:h, :w])
         if colstack is not None:
-            colstack[i, :h, :w] = rgb
+            colstack[n, :h, :w] = rgb[:h, :w]
         Ps.append(spec.projection_matrices[idx])
+        kept_sizes.append(size)
+        n += 1
+    if n == 0:
+        raise ValueError(f"No loadable views in scene {path}")
+    images = images[:n]
+    if colstack is not None:
+        colstack = colstack[:n]
     cams = Cameras.from_projection_matrices(
         np.stack(Ps),
-        widths=[s[1] for s in sizes],
-        heights=[s[0] for s in sizes],
+        widths=[s[1] for s in kept_sizes],
+        heights=[s[0] for s in kept_sizes],
     )
     return Scene(cams, images, colstack)

@@ -66,9 +66,9 @@ def main(argv=None) -> int:
                    "default 8); 4 doubles linear patch density — the "
                    "standard PMVS density knob")
     p.add_argument("--impl", default="auto",
-                   help="sampling_impl: auto (chunked fused) | paged "
-                   "(round-4 view-sorted page-resident kernel, all views "
-                   "in one pass) | xla")
+                   help="sampling_impl: auto == paged (round-4 view-"
+                   "sorted page-resident kernel, all views in one pass) "
+                   "| fused (round-3 chunked Pallas baseline) | xla")
     p.add_argument("--expand-nm-iters", type=int, default=0,
                    help="Nelder-Mead cap for EXPANSION candidates only "
                    "(0 = same as --nm-iters); candidates start one grid "
@@ -116,7 +116,7 @@ def main(argv=None) -> int:
     ckpt_dir = (
         f"/tmp/dtu_ckpt_{args.views}x{args.width}x{args.height}"
         f"_kp{args.kp}_pc{args.max_per_cell}_r{args.radius:g}"
-        f"_f{args.focal:g}_d{args.cam_radius:g}"
+        f"_f{args.focal:g}_d{args.cam_radius:g}_g{args.grid_scale}"
     )
     config = load_config(
         {

@@ -44,6 +44,26 @@ def make_scene(rng, num_views, H, W, spread=0.12):
     return cams, images
 
 
+def mxu_peak_flops() -> float:
+    """bf16 MXU peak of the attached device (fallback: v5e)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {
+        "v4": 275e12,
+        "v5 lite": 197e12,
+        "v5e": 197e12,
+        "v5p": 459e12,
+        "v5": 459e12,
+        "v6 lite": 918e12,
+        "v6e": 918e12,
+    }
+    for tag, p in peaks.items():
+        if tag in kind:
+            return p
+    return 197e12
+
+
 def measure_floor(reps):
     """Per-eval overhead of the fori_loop harness itself (the tunnel's
     dispatch+fetch cost divided by reps) — subtracted from every number.
@@ -147,7 +167,7 @@ def bench(name, num_views, H, W, B, k, vis_frac, reps, paths, max_score_views,
     from densepoints_tpu.ops.warp_ncc import WIN_H, WIN_W
 
     S = -(-(k * k) // 128) * 128
-    t_mxu_s = n_slots * 2 * (2 * WIN_H * WIN_W * S) / 197e12
+    t_mxu_s = n_slots * 2 * (2 * WIN_H * WIN_W * S) / mxu_peak_flops()
 
     for label, fn in (("paged", run_paged), ("chunked", run_chunked)):
         if label not in paths:
@@ -204,6 +224,7 @@ def main(argv=None):
         )
     artifact = {
         "device": str(jax.devices()[0].device_kind),
+        "mxu_peak_bf16_tflops": round(mxu_peak_flops() / 1e12, 1),
         "harness_floor_ms_per_eval": round(floor_s * 1e3, 3),
         "note": (
             "ms_per_eval = one full all-views scoring pass (anchor + "

@@ -65,7 +65,10 @@ def main(argv=None) -> int:
     print(f"rendered in {time.perf_counter() - t0:.0f}s", flush=True)
 
     mc = MatchingConfig(max_keypoints_per_view=4096, max_pairs_per_view=10)
-    if args.stage in ("detect", "match", "tracks"):
+    if args.stage == "detect":
+        # Detection ONLY (the match/tracks stages run their own detection
+        # inside the front-end; running it twice would change the
+        # process's dispatch history from the real pipeline's).
         from densepoints_tpu.features.detector import detect_keypoints
 
         t = time.perf_counter()
@@ -82,11 +85,43 @@ def main(argv=None) -> int:
 
         jax.block_until_ready(out_d)
         print(f"detect: {time.perf_counter() - t:.0f}s", flush=True)
-    if args.stage in ("match", "tracks"):
-        # Run the full seeding front-end minus/plus track assembly by
-        # calling generate_seed_points (it is the in-process combination
-        # that poisons; inner staging is covered by the none/detect
-        # split).
+    elif args.stage == "match":
+        # Detection + descriptors + pairwise matching, WITHOUT track
+        # assembly / triangulation.
+        import jax
+
+        from densepoints_tpu.features.descriptors import (
+            brief_pattern,
+            compute_descriptors,
+        )
+        from densepoints_tpu.features.detector import detect_keypoints
+        from densepoints_tpu.features.matching import match_pair
+
+        t = time.perf_counter()
+        xy, resp, valid = detect_keypoints(
+            images,
+            cell_size=mc.keypoint_cell_size,
+            max_per_cell=mc.max_keypoints_per_cell,
+            max_keypoints=mc.max_keypoints_per_view,
+            k=mc.harris_k,
+            method=mc.detector,
+            fast_threshold=mc.fast_threshold,
+        )
+        pattern = brief_pattern(
+            mc.descriptor_bits, mc.descriptor_patch_radius
+        )
+        desc = compute_descriptors(images, xy, pattern)
+        tot = 0.0
+        for v in range(min(args.views - 1, 20)):
+            idx, dist = match_pair(
+                desc[v], desc[v + 1], valid[v], valid[v + 1],
+                lowe_ratio=mc.lowe_ratio,
+            )
+            tot += float(jax.numpy.sum((idx >= 0).astype(jax.numpy.int32)))
+        print(f"match: {time.perf_counter() - t:.0f}s ({tot:.0f} matches)",
+              flush=True)
+    elif args.stage == "tracks":
+        # The FULL seeding front-end (the round-3 crash precondition).
         from densepoints_tpu.pmvs.seed import generate_seed_points
 
         t = time.perf_counter()
