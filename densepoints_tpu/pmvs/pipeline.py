@@ -263,9 +263,16 @@ def _densify_from(
 
     if stage == "expanded":
         with metrics.stage("filter"):
+            # Bucket the capacity so the jitted filter programs see a
+            # small shape set across runs/rounds (dead padded lanes are
+            # masked throughout; an exact-count compact here meant a
+            # fresh 30-60 s tunnel compile for every distinct final
+            # patch count).
+            from densepoints_tpu.pmvs.expand import _pad_bucket
+
             state = run_filters(
                 cameras,
-                state,
+                _pad_bucket(state),
                 config.filter,
                 config.optimize,
                 config.organizer.grid_scale,
