@@ -153,9 +153,12 @@ def main():
         "fraction_of_roofline": round(t_mxu / kdt, 3),
     }
     # Early insurance line: if the e2e section is cut short by an external
-    # timeout, the tail still carries the kernel/refine numbers (value
-    # falls back to the refine throughput against its own nominal).
+    # timeout, the tail still carries the kernel/refine numbers. Emitted
+    # under its OWN metric name (refine throughput vs its own nominal) so
+    # a truncated run can never be mistaken for an e2e result.
     early_line = dict(early)
+    early_line["metric"] = "refine_patches_per_sec"
+    early_line["unit"] = "patches/s"
     early_line["value"] = round(refine_pps, 1)
     early_line["vs_baseline"] = round(
         refine_pps / REFINE_NOMINAL_PATCHES_PER_SEC, 3

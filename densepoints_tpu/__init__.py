@@ -31,6 +31,20 @@ __version__ = "0.1.0"
 # this silently). The compute-heavy kernels are unaffected: they feed the
 # MXU bf16 operands EXPLICITLY by design (one-hot sampling matmuls,
 # Hamming descriptor matmuls).
+#
+# The contract is enforced at TWO levels (tests/core/test_precision_contract
+# pins both):
+#   1. every pixel-coordinate-producing matmul site pins
+#      `precision=jax.lax.Precision.HIGHEST` explicitly (core/cameras.py,
+#      ops/warp.py, ops/warp_ncc_paged.py, geometry/homography.py,
+#      ba/ba.py) — correct even under a caller's own precision context;
+#   2. the PACKAGE-WIDE default below covers everything else (DLT/QR/BA
+#      linear algebra and future call sites). This is a deliberate global:
+#      a geometry framework whose f32 linear algebra silently runs in
+#      bf16 is wrong, not slow. It is applied only when the embedding
+#      application has NOT chosen its own default, so user configuration
+#      is never clobbered.
 import jax as _jax
 
-_jax.config.update("jax_default_matmul_precision", "highest")
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")

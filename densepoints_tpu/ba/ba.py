@@ -82,10 +82,12 @@ def rodrigues(w: jax.Array) -> jax.Array:
 
 def _project_residual(cam6, X, K, R0, C0, obs_xy):
     """Residual of one observation. cam6 = (w(3), dC(3))."""
-    R = R0 @ rodrigues(cam6[:3])
+    hi = jax.lax.Precision.HIGHEST  # pixel coords: never bf16 (vmapped
+    # 3x3 products batch onto the MXU under vmap)
+    R = jnp.matmul(R0, rodrigues(cam6[:3]), precision=hi)
     C = C0 + cam6[3:]
-    cam = R @ (X - C)
-    pix_h = K @ cam
+    cam = jnp.matmul(R, X - C, precision=hi)
+    pix_h = jnp.matmul(K, cam, precision=hi)
     pix = pix_h[:2] / pix_h[2]
     return pix - obs_xy
 
@@ -345,12 +347,16 @@ def run_ba_sharded(
 
 def reprojection_rmse(problem: BAProblem, R, C, points) -> jax.Array:
     """Unrobustified RMS reprojection error in pixels over valid obs."""
+    hi = jax.lax.Precision.HIGHEST  # pixel coords: never bf16
     cam = jnp.einsum(
         "mij,mj->mi",
         R[problem.obs_view],
         points[problem.obs_point] - C[problem.obs_view],
+        precision=hi,
     )
-    pix_h = jnp.einsum("mij,mj->mi", problem.K[problem.obs_view], cam)
+    pix_h = jnp.einsum(
+        "mij,mj->mi", problem.K[problem.obs_view], cam, precision=hi
+    )
     pix = pix_h[:, :2] / pix_h[:, 2:3]
     err2 = jnp.sum((pix - problem.obs_xy) ** 2, -1)
     m = problem.obs_mask.astype(err2.dtype)

@@ -114,6 +114,13 @@ class ExpandConfig:
     # from a converged parent, so a reduced budget (e.g. 40) converges in
     # practice — the reference's termination criteria (eps 1e-4 OR cap,
     # optimization_opencv.cpp:55-64) are unchanged, only the cap differs
+    prescreen: str = "claim"  # off | free | claim. Candidates whose
+    # projected cells cannot yield >= min_grids_to_accept occupancy wins
+    # are dropped BEFORE Nelder-Mead (organizer.prescreen_candidates) —
+    # r4 measured ~75-80% of expansion optimization work discarded at
+    # insertion. "claim" also simulates within-batch contention; the
+    # accepted-patch constraints (expand.cpp:34-143 semantics) are
+    # unchanged, only where doomed candidates die moves.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -71,8 +71,12 @@ class Cameras:
         """As `project`, also returning the camera-frame depth (V, ...)."""
         R = self.E[:, :, :3]  # (V, 3, 3)
         rel = points[None, ...] - _expand(self.C, points.ndim - 1)  # (V, ..., 3)
-        cam = jnp.einsum("vij,v...j->v...i", R, rel)
-        pix_h = jnp.einsum("vij,v...j->v...i", self.K, cam)
+        # Pinned HIGHEST: pixel coordinates must never route through the
+        # MXU in bf16 (r4 geometry-corruption class), regardless of the
+        # ambient matmul-precision context.
+        hi = jax.lax.Precision.HIGHEST
+        cam = jnp.einsum("vij,v...j->v...i", R, rel, precision=hi)
+        pix_h = jnp.einsum("vij,v...j->v...i", self.K, cam, precision=hi)
         depth = cam[..., 2]
         return pix_h[..., :2] / pix_h[..., 2:3], depth
 
@@ -176,7 +180,10 @@ def project_points(P: jax.Array, points: jax.Array) -> jax.Array:
     P: (..., 3, 4); points: (..., 3) -> pixel coords (..., 2).
     Reference: `View::ProjectPoint`, types.cpp:70-75.
     """
-    xyz = jnp.einsum("...ij,...j->...i", P[..., :3], points) + P[..., 3]
+    xyz = jnp.einsum(
+        "...ij,...j->...i", P[..., :3], points,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + P[..., 3]
     return xyz[..., :2] / xyz[..., 2:3]
 
 

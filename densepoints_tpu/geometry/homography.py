@@ -78,7 +78,10 @@ def _homography_dlt_raw(src: jax.Array, dst: jax.Array) -> jax.Array:
 def apply_homography(H: jax.Array, pts: jax.Array) -> jax.Array:
     """H: (..., 3, 3); pts: (..., N, 2) -> (..., N, 2)."""
     ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
-    out = jnp.einsum("...ij,...nj->...ni", H, ph)
+    out = jnp.einsum(
+        "...ij,...nj->...ni", H, ph,
+        precision=jax.lax.Precision.HIGHEST,  # pixel coords: never bf16
+    )
     return out[..., :2] / out[..., 2:3]
 
 
@@ -92,6 +95,9 @@ def plane_homography(
     leading dims of (P, origin, ex, ey).
     """
     M = jnp.stack([ex, ey, origin], axis=-1)  # (..., 3, 3) columns
-    A = jnp.einsum("...ij,...jk->...ik", P[..., :, :3], M)
+    A = jnp.einsum(
+        "...ij,...jk->...ik", P[..., :, :3], M,
+        precision=jax.lax.Precision.HIGHEST,  # pixel coords: never bf16
+    )
     A = A.at[..., :, 2].add(P[..., :, 3])
     return A

@@ -79,8 +79,9 @@ def patch_frames(
     K, E, C = cameras.K[ref], cameras.E[ref], cameras.C[ref]
 
     def _proj(pts):
-        cam = jnp.einsum("bij,bj->bi", E[:, :, :3], pts - C)
-        pix = jnp.einsum("bij,bj->bi", K, cam)
+        hi = jax.lax.Precision.HIGHEST  # pixel coords: never bf16
+        cam = jnp.einsum("bij,bj->bi", E[:, :, :3], pts - C, precision=hi)
+        pix = jnp.einsum("bij,bj->bi", K, cam, precision=hi)
         return pix[:, :2] / pix[:, 2:3]
 
     p0 = _proj(position)
@@ -230,8 +231,9 @@ def patch_textures_indexed(
 
     def _proj(pts):  # pts: (B, n, 3) -> (B, M, n, 2)
         rel = pts[:, None, :, :] - C[:, :, None, :]
-        cam = jnp.einsum("bmij,bmnj->bmni", E[..., :3], rel)
-        pix = jnp.einsum("bmij,bmnj->bmni", K, cam)
+        hi = jax.lax.Precision.HIGHEST  # pixel coords: never bf16
+        cam = jnp.einsum("bmij,bmnj->bmni", E[..., :3], rel, precision=hi)
+        pix = jnp.einsum("bmij,bmnj->bmni", K, cam, precision=hi)
         return pix[..., :2] / pix[..., 2:3]
 
     pix_corners = _proj(corners)  # (B, M, 4, 2)

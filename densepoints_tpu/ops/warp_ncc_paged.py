@@ -176,7 +176,7 @@ def dense_geometry(cameras, page_meta, position, sx, sy, texture_size):
     plans' view-sorted slots then gather near-sequential rows): cols 0-8
     the folded projections [a0 | ax | ay] (texel (s, t) maps to
     window-relative pixels as (a0 + s*ax + t*ay) -> (x/z, y/z)), col 9
-    the BITCAST int32 window page-row, col 11 the validity flag.
+    the window page-row as an exact f32 value, col 11 the validity flag.
     """
     Hp, nxb = page_meta
     Wp = nxb * 128
@@ -257,18 +257,24 @@ def dense_geometry(cameras, page_meta, position, sx, sy, texture_size):
         py = hcrn[..., 1] / z
         valid &= (px > 0) & (px < w) & (py > 0) & (py < h2d)
 
-    # Pack row0 (bitcast) and validity alongside the projection so the
-    # per-pass slot extraction is ONE row gather, not four — and lay the
-    # table out VIEW-MAJOR (v * B + b): the plans' slots are sorted by
-    # view with ascending b inside a run, so the gather walks the table
+    # Pack row0 and validity alongside the projection so the per-pass
+    # slot extraction is ONE row gather, not four — and lay the table
+    # out VIEW-MAJOR (v * B + b): the plans' slots are sorted by view
+    # with ascending b inside a run, so the gather walks the table
     # near-sequentially instead of at stride V (a stride-V 64-byte row
     # gather is latency-bound: measured ~2x the whole kernel's cost).
+    #
+    # row0 is stored as a plain f32 VALUE, never a bitcast: int32 bits
+    # reinterpreted as f32 are DENORMALS (row0 < ~8.4e6), and XLA:TPU's
+    # transpose lowering flushes denormals to zero at most shapes —
+    # round 4 shipped the bitcast and every scoring pass at non-bench
+    # shapes read window row 0 for every slot (caught round 5 by the
+    # scan-scale numpy-oracle smoke test). Page rows are < 2^24 at any
+    # plausible image (2 * nxb * Hp), so the float value is exact.
     packed = jnp.concatenate(
         [
             geom,
-            jax.lax.bitcast_convert_type(
-                row0.astype(jnp.int32), f32
-            )[..., None],
+            row0.astype(f32)[..., None],
             jnp.zeros((B, V, 1), f32),  # (spare; was the lane offset)
             valid.astype(f32)[..., None],
             jnp.zeros((B, V, 4), f32),
@@ -492,7 +498,9 @@ def paged_all_scores(
         pv = sid % V
         # View-major index: near-sequential within each view run.
         packed = packed_d[pv * B + pb]  # the ONE per-slot gather
-        row0 = jax.lax.bitcast_convert_type(packed[:, 9], jnp.int32)
+        # row0 rides the table as an exact f32 value (NOT a bitcast — see
+        # dense_geometry: TPU transposes flush denormal bit patterns).
+        row0 = packed[:, 9].astype(jnp.int32)
         validg = packed[:, 11] > 0.5
         ctex = paged_centered_textures(
             pages, p.page, row0, packed, k, interpret=interpret

@@ -38,6 +38,7 @@ from densepoints_tpu.pmvs.organizer import (
     bulk_try_insert,
     candidate_cells,
     make_grids,
+    prescreen_candidates,
 )
 from densepoints_tpu.pmvs.patch import PatchState
 from densepoints_tpu.pmvs.visibility import classify_views
@@ -164,6 +165,28 @@ def expand_patches(
         cand = make_expansion_candidates(
             cameras, frontier, organizer_config.grid_scale
         )
+        if expand_config.prescreen != "off":
+            # Occupancy pre-screen: drop candidates that cannot reach
+            # min_grids_to_accept cell wins BEFORE paying for Nelder-Mead
+            # (the dominant cost of every round; r4 discarded ~75-80% of
+            # optimized candidates at insertion).
+            pre_cells = candidate_cells(
+                grids, cameras, cand.position, cand.vis,
+                organizer_config.grid_scale,
+            )
+            keep = prescreen_candidates(
+                grids, pre_cells, cand.alive,
+                organizer_config.min_grids_to_accept,
+                expand_config.prescreen,
+            )
+            n_before = cand.capacity
+            cand = cand.masked(keep & cand.alive).compact()
+            log.info(
+                "expansion round %d: prescreen %d -> %d candidates",
+                round_idx, n_before, cand.capacity,
+            )
+            if cand.capacity == 0:
+                break
         # Shape quantization is an accelerator concern (dead padded lanes
         # are nearly free there via the paged kernel's step skipping; on
         # CPU the padding would dominate test wall time).

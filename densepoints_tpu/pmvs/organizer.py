@@ -26,7 +26,13 @@ import jax.numpy as jnp
 from densepoints_tpu.config import OrganizerConfig
 from densepoints_tpu.core.cameras import Cameras
 
-__all__ = ["OccupancyGrids", "make_grids", "candidate_cells", "bulk_try_insert"]
+__all__ = [
+    "OccupancyGrids",
+    "make_grids",
+    "candidate_cells",
+    "bulk_try_insert",
+    "prescreen_candidates",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -96,6 +102,82 @@ def candidate_cells(
     return jnp.where(ok, flat, -1)
 
 
+def _claim_rounds(cell_ids, active, prio, fill, K: int, n_cells: int):
+    """K scatter-min claim rounds; returns won (B, V) bool.
+
+    Each round awards one slot per cell to the lowest remaining priority
+    among candidates whose cell still has free slots (K = 1 is the
+    original single-pass scatter-min). Shared by `bulk_try_insert` (which
+    then writes the winners) and `prescreen_candidates` (which only needs
+    the would-win counts).
+    """
+    B = cell_ids.shape[0]
+    safe_cells = jnp.where(active, cell_ids, n_cells)
+    fill_ext = jnp.concatenate([fill, jnp.full((1,), K, fill.dtype)])
+    won = jnp.zeros(cell_ids.shape, bool)
+    for _ in range(K):
+        a = active & ~won & (fill_ext[safe_cells] < K)
+        sc = jnp.where(a, cell_ids, n_cells)
+        claim = jnp.full((n_cells + 1,), B, jnp.int32)
+        claim = claim.at[sc.reshape(-1)].min(
+            jnp.where(a, prio, B).reshape(-1)
+        )
+        won_r = a & (claim[sc] == prio)
+        won = won | won_r
+        fill_ext = fill_ext.at[
+            jnp.where(won_r, cell_ids, n_cells).reshape(-1)
+        ].add(won_r.reshape(-1).astype(fill.dtype))
+    return won
+
+
+@functools.partial(jax.jit, static_argnames=("min_grids", "mode"))
+def prescreen_candidates(
+    grids: OccupancyGrids,
+    cell_ids: jax.Array,
+    candidate_alive: jax.Array,
+    min_grids: int = 2,
+    mode: str = "claim",
+):
+    """Which candidates COULD still be accepted at insertion time.
+
+    The expansion pre-screen (VERDICT r4 #2): ~75-80% of optimized
+    expansion candidates were discarded at insertion because their
+    projected cells were already occupied — full Nelder-Mead runs thrown
+    away. Both modes are NECESSARY conditions for `bulk_try_insert`
+    acceptance evaluated on the PRE-optimization pose (optimization moves
+    a candidate less than about one cell, so the screen is a slightly
+    soft approximation; the A/B ladder artifact quantifies the effect):
+
+      * "free":  >= min_grids of the candidate's valid cells have at
+        least one free slot (ignores within-batch contention);
+      * "claim": the candidate would win >= min_grids cells in the
+        deterministic K-round claim against the rest of THIS batch —
+        exactly the `bulk_try_insert` contest, minus the writes.
+
+    Returns keep (B,) bool.
+    """
+    V, Hg, Wg = grids.cells.shape[:3]
+    K = grids.slots_per_cell
+    n_cells = V * Hg * Wg
+    slots = grids.cells.reshape(n_cells, K) if K > 1 else (
+        grids.cells.reshape(n_cells, 1)
+    )
+    fill = jnp.sum(slots >= 0, axis=1)
+    active = candidate_alive[:, None] & (cell_ids >= 0)
+    if mode == "free":
+        safe = jnp.where(active, cell_ids, 0)
+        has_free = active & (fill[safe] < K)
+        return jnp.sum(has_free, axis=1) >= min_grids
+    if mode != "claim":
+        raise ValueError(f"unknown prescreen mode {mode!r}")
+    B = cell_ids.shape[0]
+    prio = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], cell_ids.shape
+    )
+    won = _claim_rounds(cell_ids, active, prio, fill, K, n_cells)
+    return jnp.sum(won, axis=1) >= min_grids
+
+
 @functools.partial(jax.jit, static_argnames=("min_grids",))
 def bulk_try_insert(
     grids: OccupancyGrids,
@@ -126,26 +208,9 @@ def bulk_try_insert(
     fill = jnp.sum(slots >= 0, axis=1)  # (n_cells,) used slots
 
     active = candidate_alive[:, None] & (cell_ids >= 0)
-    safe_cells = jnp.where(active, cell_ids, n_cells)  # dump slot
     prio = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, V))
 
-    fill_ext = jnp.concatenate([fill, jnp.full((1,), K, fill.dtype)])
-    won = jnp.zeros((B, V), bool)
-    # K claim rounds: one winner per cell per round (K = 1 is the original
-    # single-pass scatter-min).
-    for _ in range(K):
-        a = active & ~won & (fill_ext[safe_cells] < K)
-        sc = jnp.where(a, cell_ids, n_cells)
-        claim = jnp.full((n_cells + 1,), B, jnp.int32)
-        claim = claim.at[sc.reshape(-1)].min(
-            jnp.where(a, prio, B).reshape(-1)
-        )
-        won_r = a & (claim[sc] == prio)
-        won = won | won_r
-        fill_ext = fill_ext.at[jnp.where(won_r, cell_ids, n_cells).reshape(-1)].add(
-            won_r.reshape(-1).astype(fill.dtype)
-        )
-
+    won = _claim_rounds(cell_ids, active, prio, fill, K, n_cells)
     accepted = jnp.sum(won, axis=1) >= min_grids
 
     # Write accepted winners into successive free slots. Within a batch at

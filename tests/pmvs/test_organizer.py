@@ -138,3 +138,65 @@ def test_single_slot_path_unchanged(rng):
     assert np.asarray(accepted).tolist() == [True, False]
     assert new.cells.ndim == 3
     assert int(new.cells[0, 0, 0]) == 7 and int(new.cells[1, 0, 0]) == 7
+
+
+def test_prescreen_matches_insert_acceptance():
+    """`prescreen_candidates("claim")` must agree EXACTLY with
+    `bulk_try_insert` acceptance when evaluated on the same cells — it is
+    the same K-round claim contest minus the writes."""
+    import jax.numpy as jnp
+
+    from densepoints_tpu.pmvs.organizer import (
+        OccupancyGrids,
+        bulk_try_insert,
+        prescreen_candidates,
+    )
+
+    rng2 = np.random.default_rng(3)
+    grids = OccupancyGrids(
+        cells=jnp.asarray(
+            rng2.choice([-1, -1, -1, 5], size=(3, 4, 4)).astype(np.int32)
+        ),
+        cols=jnp.full((3,), 4, jnp.int32),
+        rows=jnp.full((3,), 4, jnp.int32),
+    )
+    B = 40
+    cells = jnp.asarray(
+        np.where(
+            rng2.uniform(size=(B, 3)) < 0.8,
+            rng2.integers(0, 3 * 16, size=(B, 3)),
+            -1,
+        ).astype(np.int32)
+    )
+    alive = jnp.asarray(rng2.uniform(size=(B,)) < 0.9)
+    keep = prescreen_candidates(grids, cells, alive, 2, "claim")
+    accepted, _ = bulk_try_insert(
+        grids, cells, alive, jnp.arange(B, dtype=jnp.int32), 2
+    )
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(accepted))
+    # "free" is a necessary condition: it must keep everything claim keeps.
+    free = np.asarray(prescreen_candidates(grids, cells, alive, 2, "free"))
+    assert np.all(free[np.asarray(keep)])
+
+
+def test_prescreen_full_cells_rejected():
+    import jax.numpy as jnp
+
+    from densepoints_tpu.pmvs.organizer import (
+        OccupancyGrids,
+        prescreen_candidates,
+    )
+
+    cells_arr = jnp.full((2, 2, 2), -1, jnp.int32).at[0, 0, 0].set(9)
+    grids = OccupancyGrids(
+        cells=cells_arr,
+        cols=jnp.full((2,), 2, jnp.int32),
+        rows=jnp.full((2,), 2, jnp.int32),
+    )
+    # candidate 0: cells (full, free) -> only 1 possible win -> screened
+    # candidate 1: cells (free, free) -> kept
+    cells = jnp.asarray([[0, 4], [1, 5]], jnp.int32)
+    alive = jnp.ones((2,), bool)
+    for mode in ("free", "claim"):
+        keep = np.asarray(prescreen_candidates(grids, cells, alive, 2, mode))
+        assert keep.tolist() == [False, True], mode
