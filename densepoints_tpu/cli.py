@@ -63,6 +63,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--process-id", type=int, help="this process's id")
     p.add_argument(
+        "--partition",
+        choices=["replicated", "clustered"],
+        default="replicated",
+        help="multi-host image partitioning: 'replicated' (SPMD patch "
+        "sharding, full image stack per process — DTU-scale default) or "
+        "'clustered' (covisibility view clusters, each process holds only "
+        "its cluster's images + halo — pod-scale scenes)",
+    )
+    p.add_argument(
+        "--halo-threshold",
+        type=float,
+        default=0.25,
+        help="clustered partitioning: minimum covisibility for a "
+        "non-member view to be held by a cluster's process",
+    )
+    p.add_argument(
         "--platform",
         help="force a jax platform (e.g. 'cpu'): some TPU plugins ignore "
         "the JAX_PLATFORMS environment variable, so this sets it "
@@ -114,12 +130,25 @@ def main(argv=None) -> int:
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
+    else:
+        # Persistent compilation cache: cold starts cost 300+ s of
+        # (remote) compile otherwise, per run (BENCH_r04). In multi-host
+        # jobs initialize_multihost wires it after distributed init.
+        from densepoints_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
     from densepoints_tpu.io.scene import load_scene
 
     scene = load_scene(args.input)
     log.info("scene: %d views", scene.cameras.num_views)
-    if args.distributed or args.coordinator:
+    if args.partition == "clustered":
+        from densepoints_tpu.parallel.clustered import densify_clustered
+
+        result = densify_clustered(
+            scene, config, halo_threshold=args.halo_threshold
+        )
+    elif args.distributed or args.coordinator:
         from densepoints_tpu.parallel.multihost import densify_multihost
 
         result = densify_multihost(scene, config)

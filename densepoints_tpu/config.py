@@ -81,7 +81,8 @@ class OptimizeConfig:
     # many patches per device dispatch (the NM init evaluates 4 simplex
     # points per patch, so coordinate tensors scale with 4*B*M*k^2 —
     # unsliced 16k-patch batches exceed HBM at DTU view counts)
-    sampling_impl: str = "auto"  # auto | paged | fused | xla.
+    sampling_impl: str = "auto"  # auto == paged (the single production
+    # scoring path since round 5; "fused"/"xla" retired, VERDICT r4 #9).
     # auto == paged (the round-4 default): the view-sorted page-resident
     # kernel — ONE all-views pass per evaluation, anchor texture computed
     # once, work scales with sum(vis); XLA equivalent off-TPU. Measured

@@ -99,6 +99,13 @@ def initialize_multihost(
         num_processes=num_processes,
         process_id=process_id,
     )
+    # Persistent compilation cache (after distributed init — keying the
+    # cache dir touches jax.devices()): in a multi-host job every process
+    # pays the full cold compile otherwise (BENCH_r04: 309 s per process
+    # for a 12-view scene).
+    from densepoints_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     log.info(
         "multihost: process %d/%d, %d global devices (%d local)",
         jax.process_index(),

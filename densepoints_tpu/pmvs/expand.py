@@ -165,11 +165,24 @@ def expand_patches(
         cand = make_expansion_candidates(
             cameras, frontier, organizer_config.grid_scale
         )
+        # Shape quantization is an accelerator concern (dead padded lanes
+        # are nearly free there via the paged kernel's step skipping; on
+        # CPU the padding would dominate test wall time).
+        quantum = (
+            optimize_config.max_refine_batch
+            if jax.default_backend() != "cpu"
+            else 0
+        )
         if expand_config.prescreen != "off":
             # Occupancy pre-screen: drop candidates that cannot reach
             # min_grids_to_accept cell wins BEFORE paying for Nelder-Mead
             # (the dominant cost of every round; r4 discarded ~75-80% of
-            # optimized candidates at insertion).
+            # optimized candidates at insertion). Padded to the SAME
+            # bucket shapes as the NM stage first: the raw 4*frontier
+            # shape differs every round, and each fresh shape costs a
+            # 30-60 s tunnel recompile of the screen itself — measured
+            # eating ~4x the NM time it saved before this padding.
+            cand = _pad_bucket(cand, quantum=quantum)
             pre_cells = candidate_cells(
                 grids, cameras, cand.position, cand.vis,
                 organizer_config.grid_scale,
@@ -179,7 +192,7 @@ def expand_patches(
                 organizer_config.min_grids_to_accept,
                 expand_config.prescreen,
             )
-            n_before = cand.capacity
+            n_before = int(jnp.sum(cand.alive))
             cand = cand.masked(keep & cand.alive).compact()
             log.info(
                 "expansion round %d: prescreen %d -> %d candidates",
@@ -187,14 +200,6 @@ def expand_patches(
             )
             if cand.capacity == 0:
                 break
-        # Shape quantization is an accelerator concern (dead padded lanes
-        # are nearly free there via the paged kernel's step skipping; on
-        # CPU the padding would dominate test wall time).
-        quantum = (
-            optimize_config.max_refine_batch
-            if jax.default_backend() != "cpu"
-            else 0
-        )
         cand = _pad_bucket(cand, quantum=quantum)
         # Optimize candidates at the expansion texture size (11), then
         # re-classify visibility and NCC-filter (expand.cpp:128-137).

@@ -178,6 +178,10 @@ def photometric_objective(
 ):
     """Build the batched objective f(params (B, K, 3)) -> (B, K).
 
+    PARITY REFERENCE ONLY since round 5 (VERDICT r4 #9) — production
+    refinement dispatches `photometric_objective_paged` exclusively; this
+    chunked derivation survives for the equivalence tests.
+
     The reference averages (1 - NCC) over EVERY visible texture
     (optimization_opencv.cpp:25-38); views are scored in anchor-pinned
     chunks of `max_score_views` slots (see `_anchor_chunks`), so
@@ -317,8 +321,26 @@ def photometric_objective_paged(
     return f
 
 
+def _check_impl(impl: str):
+    """One production scoring semantics (VERDICT r4 #9): the all-views
+    paged/XLA pair. The round-3 chunked values are retired, loudly."""
+    if impl not in ("auto", "paged"):
+        raise ValueError(
+            f"sampling_impl {impl!r} was retired in round 5: the all-views "
+            "paged path (TPU) / allview_scores_xla (elsewhere) is the single "
+            "production scoring semantics. The chunked implementation "
+            "remains available as a parity reference "
+            "(photometric_objective / _anchor_chunks, exercised by "
+            "tests/ops/test_warp_ncc_paged.py)."
+        )
+
+
 def _anchor_chunks(vis: jax.Array, max_views: int):
     """Split each patch's visible set into anchor-pinned slot chunks.
+
+    PARITY REFERENCE ONLY since round 5 — no production stage dispatches
+    the chunked path; it survives for the paged-vs-chunked equivalence
+    tests (one independent derivation of optimization.cpp:98-132).
 
     Every chunk is (view_ids (B, M), ok (B, M)) with slot 0 = the patch's
     FIRST visible view (the anchor texture) and up to M-1 payload views in
@@ -411,55 +433,15 @@ def _filter_by_error_jit(
 ) -> PatchState:
     """NCC visibility pruning + patch rejection (optimization.cpp:98-132).
 
-    The reference scores EVERY visible view (optimization.cpp:98-132); here
-    views are processed in anchor-pinned chunks of `max_score_views` slots,
-    so no view is dropped for "not fitting" regardless of V (or in ONE
-    all-views pass with `sampling_impl="paged"`).
+    The reference scores EVERY visible view (optimization.cpp:98-132); ONE
+    all-views pass on the (B, V) score grid — paged Pallas kernel on TPU,
+    `allview_scores_xla` elsewhere. This is the SINGLE production scoring
+    semantics since round 5 (VERDICT r4 #9): the round-3 anchor-pinned
+    chunked path survives only as a parity reference in the tests.
     """
-    if config.sampling_impl in ("paged", "auto"):
-        # "auto" resolves to the paged path since round 4: measured 1.5x
-        # the chunked fused kernel at scan shapes AND ~2x the accepted
-        # patch density at better exact accuracy on the 21-view A/B.
-        return _filter_by_error_paged(images, cameras, state, texture_size,
-                                      config)
-    B, V = state.vis.shape
-    new_vis = jnp.zeros((B, V), bool)
-    n_scorable = jnp.zeros((B,), jnp.int32)
-    for chunk_ids, chunk_ok in _anchor_chunks(
-        state.vis, config.max_score_views
-    ):
-        scores, view_ids, ok = patch_ncc_scores(
-            images,
-            cameras,
-            state.position,
-            state.normal,
-            state.ref,
-            state.vis,
-            texture_size,
-            config.max_score_views,
-            impl=config.sampling_impl,
-            view_ids=chunk_ids,
-            ok=chunk_ok,
-        )
-        # Keep the anchor slot plus scored slots over the threshold.
-        keep_slot = ok & (
-            (jnp.arange(ok.shape[1])[None, :] == 0)
-            | (scores >= config.score_threshold)
-        )
-        flat_idx = (
-            jnp.arange(B, dtype=jnp.int32)[:, None] * V + view_ids
-        ).reshape(-1)
-        new_vis = new_vis | (
-            jnp.zeros((B * V,), bool).at[flat_idx].max(keep_slot.reshape(-1))
-        ).reshape(B, V)
-        n_scorable = n_scorable + jnp.sum(ok.at[:, 0].set(False), axis=1)
-    n_after = jnp.sum(new_vis, axis=1)
-    alive = (
-        state.alive
-        & (n_scorable > 0)  # "empty scores -> false"
-        & (n_after >= config.min_visible_views)
-    )
-    return dataclasses.replace(state, vis=new_vis, alive=alive)
+    _check_impl(config.sampling_impl)
+    return _filter_by_error_paged(images, cameras, state, texture_size,
+                                  config)
 
 
 def _filter_by_error_paged(
@@ -529,28 +511,16 @@ def _optimize_patches_jit(
     normals are overwritten with the minimizer result — dead patches keep
     their pose).
     """
-    if config.sampling_impl in ("paged", "auto"):
-        f = photometric_objective_paged(
-            images,
-            cameras,
-            state.position,
-            state.normal,
-            state.ref,
-            state.vis,
-            texture_size,
-        )
-    else:
-        f = photometric_objective(
-            images,
-            cameras,
-            state.position,
-            state.normal,
-            state.ref,
-            state.vis,
-            texture_size,
-            impl=config.sampling_impl,
-            max_score_views=config.max_score_views,
-        )
+    _check_impl(config.sampling_impl)
+    f = photometric_objective_paged(
+        images,
+        cameras,
+        state.position,
+        state.normal,
+        state.ref,
+        state.vis,
+        texture_size,
+    )
     B = state.capacity
     x0 = jnp.zeros((B, 3), state.position.dtype)
     if config.depth_sweep_steps > 1:

@@ -86,7 +86,7 @@ def main(argv=None) -> int:
     p.add_argument("--radius", type=float, default=60.0)
     p.add_argument("--cam-radius", type=float, default=650.0)
     p.add_argument("--max-rounds", type=int, default=6)
-    p.add_argument("--impl", default="paged")
+    p.add_argument("--impl", default="paged", choices=["auto", "paged"])
     p.add_argument("--expand-nm-iters", type=int, default=40)
     p.add_argument("--clean", action="store_true",
                    help="skip the nuisances (delta baseline)")

@@ -65,7 +65,7 @@ def main(argv=None) -> int:
                    help="occupancy cell size in px (patch_organizer.h:46 "
                    "default 8); 4 doubles linear patch density — the "
                    "standard PMVS density knob")
-    p.add_argument("--impl", default="auto",
+    p.add_argument("--impl", default="auto", choices=["auto", "paged"],
                    help="sampling_impl: auto == paged (round-4 view-"
                    "sorted page-resident kernel, all views in one pass) "
                    "| fused (round-3 chunked Pallas baseline) | xla")

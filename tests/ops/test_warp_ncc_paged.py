@@ -175,6 +175,49 @@ def test_paged_objective_matches_chunked(rng):
     )
 
 
+def _chunked_filter_reference(images, cams, state, texture_size, config):
+    """The retired round-3 chunked filter, rebuilt from the parity pieces
+    (_anchor_chunks + patch_ncc_scores) — an independent derivation of
+    optimization.cpp:98-132 that the production paged path must match."""
+    import dataclasses
+
+    import jax.numpy as jnp2
+
+    from densepoints_tpu.pmvs.optimize import _anchor_chunks, patch_ncc_scores
+
+    B, V = state.vis.shape
+    new_vis = jnp2.zeros((B, V), bool)
+    n_scorable = jnp2.zeros((B,), jnp2.int32)
+    for chunk_ids, chunk_ok in _anchor_chunks(
+        state.vis, config.max_score_views
+    ):
+        scores, view_ids, ok = patch_ncc_scores(
+            images, cams, state.position, state.normal, state.ref,
+            state.vis, texture_size, config.max_score_views,
+            impl="xla", view_ids=chunk_ids, ok=chunk_ok,
+        )
+        keep_slot = ok & (
+            (jnp2.arange(ok.shape[1])[None, :] == 0)
+            | (scores >= config.score_threshold)
+        )
+        flat_idx = (
+            jnp2.arange(B, dtype=jnp2.int32)[:, None] * V + view_ids
+        ).reshape(-1)
+        new_vis = new_vis | (
+            jnp2.zeros((B * V,), bool)
+            .at[flat_idx]
+            .max(keep_slot.reshape(-1))
+        ).reshape(B, V)
+        n_scorable = n_scorable + jnp2.sum(ok.at[:, 0].set(False), axis=1)
+    n_after = jnp2.sum(new_vis, axis=1)
+    alive = (
+        state.alive
+        & (n_scorable > 0)
+        & (n_after >= config.min_visible_views)
+    )
+    return dataclasses.replace(state, vis=new_vis, alive=alive)
+
+
 def test_paged_filter_matches_chunked(rng):
     from densepoints_tpu.config import OptimizeConfig
     from densepoints_tpu.pmvs.optimize import filter_by_error
@@ -185,9 +228,8 @@ def test_paged_filter_matches_chunked(rng):
     state = PatchState.create(
         np.asarray(pos), np.asarray(nrm), np.asarray(refs), np.asarray(vis)
     )
-    out_chunk = filter_by_error(
-        images, cams, state, 11,
-        OptimizeConfig(sampling_impl="xla", max_score_views=3),
+    out_chunk = _chunked_filter_reference(
+        images, cams, state, 11, OptimizeConfig(max_score_views=3)
     )
     out_paged = filter_by_error(
         images, cams, state, 11, OptimizeConfig(sampling_impl="paged")
