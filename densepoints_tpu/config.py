@@ -115,13 +115,15 @@ class ExpandConfig:
     # from a converged parent, so a reduced budget (e.g. 40) converges in
     # practice — the reference's termination criteria (eps 1e-4 OR cap,
     # optimization_opencv.cpp:55-64) are unchanged, only the cap differs
-    prescreen: str = "claim"  # off | free | claim. Candidates whose
+    prescreen: str = "off"  # off | free | claim. Candidates whose
     # projected cells cannot yield >= min_grids_to_accept occupancy wins
-    # are dropped BEFORE Nelder-Mead (organizer.prescreen_candidates) —
-    # r4 measured ~75-80% of expansion optimization work discarded at
-    # insertion. "claim" also simulates within-batch contention; the
-    # accepted-patch constraints (expand.cpp:34-143 semantics) are
-    # unchanged, only where doomed candidates die moves.
+    # are dropped BEFORE Nelder-Mead (organizer.prescreen_candidates).
+    # Default OFF per the round-5 A/B (PRESCREEN_r05.json): dropping
+    # candidates pre-NM does NOT shrink the NM bucket shape (dead lanes
+    # are already ~free in the paged kernel), so the screen only loses
+    # the candidates that NM would have moved into acceptable cells —
+    # off 50.7 / free 43.7 / claim 37.2 patches/s e2e at the bench
+    # scene. Kept as a knob for occupancy-saturated regimes.
 
 
 @dataclasses.dataclass(frozen=True)

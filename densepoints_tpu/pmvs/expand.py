@@ -136,8 +136,12 @@ def expand_patches(
             optimize_config, max_iterations=expand_config.max_iterations
         )
 
-    # Insert seeds (PatchOrganizer::SetSeeds).
+    # Insert seeds (PatchOrganizer::SetSeeds). Bucketed on accelerators:
+    # the surviving-seed count varies run to run and each fresh shape
+    # recompiles the (eager) cell projection through the tunnel.
     seeds = seeds.compact()
+    if jax.default_backend() != "cpu":
+        seeds = _pad_bucket(seeds)
     cells = candidate_cells(
         grids, cameras, seeds.position, seeds.vis, organizer_config.grid_scale
     )
@@ -151,9 +155,16 @@ def expand_patches(
     state = seeds.masked(accepted).compact()
     log.info("expansion: %d/%d seeds inserted", state.capacity, seeds.capacity)
     frontier = state
+    # Accepted patches accumulate in per-round PARTS, concatenated ONCE at
+    # the end: a per-round `state.concatenate` re-compiles the concat at a
+    # fresh cumulative shape every round AND every run (accepted counts
+    # vary run to run) — one of the per-round multi-second tunnel compiles
+    # EXPAND_PROFILE_r05 exposed.
+    parts = [state]
+    total = state.capacity
 
     for round_idx in range(expand_config.max_rounds):
-        if frontier.capacity == 0 or state.capacity >= expand_config.max_patches:
+        if frontier.capacity == 0 or total >= expand_config.max_patches:
             break
         expandable = frontier.alive & (
             frontier.num_visible() >= expand_config.min_visible_views_to_expand
@@ -162,9 +173,6 @@ def expand_patches(
         if frontier.capacity == 0:
             break
 
-        cand = make_expansion_candidates(
-            cameras, frontier, organizer_config.grid_scale
-        )
         # Shape quantization is an accelerator concern (dead padded lanes
         # are nearly free there via the paged kernel's step skipping; on
         # CPU the padding would dominate test wall time).
@@ -172,6 +180,18 @@ def expand_patches(
             optimize_config.max_refine_batch
             if jax.default_backend() != "cpu"
             else 0
+        )
+        if quantum:
+            # Bucket the FRONTIER itself, not just the optimizer batch:
+            # the raw compacted frontier has a fresh shape every round, so
+            # candidate generation / cells / classification recompiled
+            # per round — measured 22 s of tunnel compile against 1.5 s
+            # of actual round compute (EXPAND_PROFILE_r05.json). Frontier
+            # buckets of quantum//4 make every downstream shape land in
+            # the same two-bucket family as the NM stage.
+            frontier = _pad_bucket(frontier, minimum=64, quantum=quantum // 4)
+        cand = make_expansion_candidates(
+            cameras, frontier, organizer_config.grid_scale
         )
         if expand_config.prescreen != "off":
             # Occupancy pre-screen: drop candidates that cannot reach
@@ -223,12 +243,11 @@ def expand_patches(
         cells = candidate_cells(
             grids, cameras, cand.position, cand.vis, organizer_config.grid_scale
         )
-        base = state.capacity
         accepted, grids = bulk_try_insert(
             grids,
             cells,
             cand.alive,
-            base + jnp.arange(cand.capacity, dtype=jnp.int32),
+            total + jnp.arange(cand.capacity, dtype=jnp.int32),
             organizer_config.min_grids_to_accept,
         )
         new_patches = cand.masked(accepted).compact()
@@ -238,11 +257,15 @@ def expand_patches(
             frontier.capacity,
             cand.capacity,
             new_patches.capacity,
-            base + new_patches.capacity,
+            total + new_patches.capacity,
         )
         if new_patches.capacity == 0:
             break
-        state = state.concatenate(new_patches)
+        parts.append(new_patches)
+        total += new_patches.capacity
         frontier = new_patches
 
+    state = parts[0] if len(parts) == 1 else jax.tree.map(
+        lambda *ls: jnp.concatenate(ls, axis=0), *parts
+    )
     return state, grids

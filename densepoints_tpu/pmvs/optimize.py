@@ -383,6 +383,28 @@ def _sliced(fn_jit, images, cameras, state, texture_size, config):
     B = state.capacity
     mb = config.max_refine_batch
     if mb <= 0 or B <= mb:
+        if jax.default_backend() != "cpu" and B:
+            # Bucket the dispatch shape (pow2, capped at the slice width):
+            # raw capacities vary run to run (seed survival, accepted
+            # counts), and every fresh shape is a multi-second compile
+            # through the remote-compile tunnel. Padded lanes are zeroed
+            # (no visibility -> no kernel slots, instant NM convergence)
+            # and trimmed from the result.
+            target = 256
+            while target < B:
+                target *= 2
+            if mb > 0:
+                target = min(target, mb)
+            if target != B:
+                padded = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.zeros((target - B,) + a.shape[1:], a.dtype)],
+                        axis=0,
+                    ),
+                    state,
+                )
+                out = fn_jit(images, cameras, padded, texture_size, config)
+                return jax.tree.map(lambda a: a[:B], out)
         return fn_jit(images, cameras, state, texture_size, config)
     outs = []
     for lo in range(0, B, mb):
