@@ -311,6 +311,9 @@ def _paged_kernel_factory(k: int, S: int, group: int, rows: int):
         smask = (lane < n_real).astype(jnp.float32)  # (1, S)
         n = jnp.float32(n_real)
 
+        one_bf = jnp.bfloat16(1.0)
+        zero_bf = jnp.bfloat16(0.0)
+
         def run_rows():
             for j in range(rows):
                xs = xs_ref[j]  # (group * S,) flat slot coordinates
@@ -319,14 +322,20 @@ def _paged_kernel_factory(k: int, S: int, group: int, rows: int):
                fx = xs - ix
                # Exact one-hots as bf16 hats for the whole row of slots
                # (ix and column ids are small integers, exact in bf16);
-               # E2 selects column ix + 1.
+               # E2 selects column ix + 1. NOTE the hat BUILD, not the
+               # dots, dominates the kernel (nobuild ablation bound:
+               # 11-16 ns/slot vs 73-78 shipped, KERNEL_ABLATE_r05.json);
+               # cheaper constructions tried and rejected by Mosaic on
+               # this target: bf16 equality selects ("Target does not
+               # support this comparison") and lane-rolling E into E2
+               # ("Rotate with non-32-bit data").
                d = ix[:, None].astype(jnp.bfloat16) - col_ids_bf
                E = jnp.maximum(
-                   jnp.bfloat16(0.0), jnp.bfloat16(1.0) - jnp.abs(d)
+                   zero_bf, one_bf - jnp.abs(d)
                )
                E2 = jnp.maximum(
-                   jnp.bfloat16(0.0),
-                   jnp.bfloat16(1.0) - jnp.abs(d + jnp.bfloat16(1.0)),
+                   zero_bf,
+                   one_bf - jnp.abs(d + one_bf),
                )
                wyT = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, :] - rows_h))
                for i in range(group):

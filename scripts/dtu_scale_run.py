@@ -141,6 +141,12 @@ def main(argv=None) -> int:
     from densepoints_tpu.pmvs.pipeline import densify
     from densepoints_tpu.utils.metrics import accuracy_completeness
 
+    from densepoints_tpu.utils.cache import enable_compilation_cache
+
+    # Same persistent compile cache the production entry points use
+    # (utils/cache.py): repeat runs skip the one-time tunnel compiles.
+    enable_compilation_cache()
+
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
     scene_gen = TexturedSphereScene(
