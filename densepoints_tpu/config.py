@@ -148,6 +148,13 @@ class FilterConfig:
     min_support_cells: int = 1  # neighbor cells that must agree
     occlusion_slack: float = 0.05  # relative depth slack before a patch
     # counts as occluding another
+    min_final_visible_views: int = 0  # 0 = reference semantics (>= 3 via
+    # the NCC filter). The dense-regime accuracy-tail knob (VERDICT r4
+    # #6): the >2 mm population of dense reconstructions is low-view
+    # fringe-normal rim patches (DTU_r05_dense tail forensics: 5.4
+    # visible views vs 21.2 for inliers); a floor of 8 cut the dense
+    # run's exact mean 1.086 -> 0.349 mm while keeping 81% of patches
+    # and 99.97% completeness < 2 mm.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -159,4 +159,11 @@ def run_filters(
         depth_consistency=config.depth_consistency,
         min_support_cells=config.min_support_cells,
     )
+    if config.min_final_visible_views > 0:
+        # Dense-regime tail knob (see FilterConfig): low-view rim
+        # patches are the >2 mm population at density; a final
+        # visibility floor kills them at the source.
+        state = state.masked(
+            state.num_visible() >= config.min_final_visible_views
+        )
     return state

@@ -126,3 +126,60 @@ def test_weak_support_no_row_wraparound():
     state = PatchState.create(pos, normal, refs, vis)
     out = filter_weak_support(cams, state, depth_consistency=0.05)
     assert not np.asarray(out.alive)[0], "phantom cross-view support"
+
+
+def test_min_final_visible_views_floor(rng):
+    """The dense-regime tail knob: patches under the visibility floor die
+    in run_filters; 0 keeps reference semantics (no extra kills)."""
+    import numpy as np
+
+    from densepoints_tpu.config import FilterConfig, OptimizeConfig
+    from densepoints_tpu.core.cameras import Cameras
+    from densepoints_tpu.pmvs.patch import PatchState
+    from densepoints_tpu.pmvs.filter import run_filters
+
+    K = np.array([[300.0, 0, 120.0], [0, 300.0, 90.0], [0, 0, 1.0]])
+    Ps = []
+    for i in range(12):
+        ang = (i - 5.5) * 0.2
+        C = np.array([5 * np.sin(ang), 0.0, -5 * np.cos(ang)])
+        z = -C / np.linalg.norm(C)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        Ps.append(K @ np.concatenate([R, (-R @ C)[:, None]], 1))
+    cams = Cameras.from_projection_matrices(
+        np.stack(Ps), widths=240, heights=180
+    )
+    B, V = 25, 12
+    # A compact planar cluster (mutual weak-support; co-depth so the
+    # occlusion filter passes) — only the visibility floor discriminates.
+    g = np.linspace(-0.2, 0.2, 5)
+    gx, gy = np.meshgrid(g, g)
+    pos = np.stack(
+        [gx.ravel(), gy.ravel(), np.zeros(25)], axis=1
+    ).astype(np.float32)
+    nrm = np.tile([0.0, 0.0, 1.0], (B, 1)).astype(np.float32)
+    vis = np.zeros((B, V), bool)
+    for i in range(B):
+        vis[i, : 3 + i % 8] = True  # 3..10 visible views
+    state = PatchState.create(pos, nrm, np.zeros((B,), np.int32), vis)
+
+    base = run_filters(
+        cams, state, FilterConfig(min_final_visible_views=0),
+        OptimizeConfig(), 8,
+    )
+    floored = run_filters(
+        cams, state, FilterConfig(min_final_visible_views=6),
+        OptimizeConfig(), 8,
+    )
+    nvis = np.asarray(floored.num_visible())
+    al_f = np.asarray(floored.alive)
+    al_b = np.asarray(base.alive)
+    # Floor only KILLS: every floored survivor has >= 6 views and was a
+    # baseline survivor too.
+    assert not np.any(al_f & ~al_b)
+    assert np.all(nvis[al_f] >= 6)
+    # And it does kill something on this mixed-visibility population.
+    assert al_f.sum() < al_b.sum()
