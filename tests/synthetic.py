@@ -463,10 +463,47 @@ class MultiObjectScene:
             n += self.point_visible(pts, v)
         return n
 
+    def _inward_normals(self, pts: np.ndarray) -> np.ndarray:
+        """Surface normals pointing AWAY from the cameras (the patch
+        normal convention, seed.cpp:42-43) at on-surface points."""
+        pts = np.asarray(pts, np.float64)
+        ds = [
+            np.abs(np.linalg.norm(pts - c, axis=-1) - r)
+            for c, r in self.spheres
+        ]
+        ds.append(np.abs(pts[:, 2] - self.plane_z))
+        owner = np.argmin(np.stack(ds, axis=0), axis=0)
+        n = np.zeros_like(pts)
+        for i, (c, r) in enumerate(self.spheres):
+            m = owner == i
+            v = pts[m] - c
+            n[m] = -v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-12
+            )
+        n[owner == len(self.spheres)] = [0.0, 0.0, 1.0]
+        return n
+
+    def reconstructible_count(self, pts: np.ndarray) -> np.ndarray:
+        """Views that can CARRY a patch at each point: unoccluded AND
+        within the 0.78 rad viewing cone of the surface normal (the
+        `InitRelatedImages` visibility semantics, patch.cpp:19-49) —
+        the honest completeness denominator."""
+        n_in = self._inward_normals(pts)
+        count = np.zeros(len(pts), np.int32)
+        for v in range(self.P.shape[0]):
+            d = pts - self.C[v]
+            cos = np.sum(d * n_in, axis=1) / np.maximum(
+                np.linalg.norm(d, axis=1), 1e-12
+            )
+            cone = np.arccos(np.clip(cos, -1, 1)) < 0.78
+            count += cone & self.point_visible(pts, v)
+        return count
+
     def sample_visible_surface(
         self, rng: np.random.Generator, n: int, min_views: int = 3
     ) -> np.ndarray:
-        """GT samples on surface parts visible from >= min_views cameras."""
+        """GT samples on RECONSTRUCTIBLE surface parts: unoccluded and
+        inside the 0.78 rad viewing cone of >= min_views cameras."""
         cands = []
         per = 3 * n
         for c, r in self.spheres:
@@ -481,6 +518,6 @@ class MultiObjectScene:
             )
         )
         pts = np.concatenate(cands, axis=0)
-        keep = self.visible_count(pts) >= min_views
+        keep = self.reconstructible_count(pts) >= min_views
         out = pts[keep]
         return out[rng.permutation(len(out))[: 3 * n]]
