@@ -104,10 +104,18 @@ def main():
 
     kreps = 20
 
+    # Bucketed payload-slot bound, as the production _sliced path passes
+    # (without it the plan sizes to B*V and pads the kernel grid).
+    nslots_bound = 512
+    while nslots_bound < int(vis.sum()):
+        nslots_bound *= 2
+
     def krun(images, position, normal, refs, vis, seed):
         from densepoints_tpu.pmvs.optimize import _paged_loop_invariants
 
-        pages, plan, plan_a = _paged_loop_invariants(images, vis)
+        pages, plan, plan_a = _paged_loop_invariants(
+            images, vis, nslots_bound
+        )
 
         def body(i, acc):
             p = position + (seed + i.astype(jnp.float32)) * 1e-4

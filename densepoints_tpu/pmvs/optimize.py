@@ -255,10 +255,20 @@ def _allview_scores(
     )
 
 
-def _paged_loop_invariants(images, vis):
+def _paged_loop_invariants(images, vis, plan_slots: int | None = None):
     """Pages + slot plans for `_allview_scores` — functions of the images
     and the visibility mask only, so Nelder-Mead callers build them ONCE
-    outside the solver loop (argsort does not get hoisted by XLA)."""
+    outside the solver loop (argsort does not get hoisted by XLA).
+
+    `plan_slots` bounds the payload plan's STATIC capacity. Inside jit
+    `sum(vis)` is a traced value, so without a bound the schedule sizes
+    to the B*V worst case — at scan visibility (~50%) HALF the kernel's
+    grid steps are empty padding (measured 13.3 vs ~8 ms at the expand
+    shape, PAGED_BREAKDOWN_r05.json). Callers with concrete masks
+    (pmvs.optimize._sliced) pass a bucketed host-computed bound; it MUST
+    be >= the true visible count (excess slots would be silently
+    dropped).
+    """
     import jax.numpy as _jnp
 
     from densepoints_tpu.ops.warp_ncc_paged import build_pages, make_plan
@@ -267,8 +277,14 @@ def _paged_loop_invariants(images, vis):
     anchor = _jnp.argmax(vis, axis=1).astype(_jnp.int32)
     has = _jnp.any(vis, axis=1)
     cols = jax.lax.broadcasted_iota(_jnp.int32, vis.shape, 1)
-    plan_a = make_plan(has[:, None] & (cols == anchor[:, None]))
-    plan = make_plan(vis & (cols != anchor[:, None]))
+    # At most ONE anchor slot per patch: bound the anchor schedule too
+    # (without it the anchor pass is sized to B*V as well).
+    plan_a = make_plan(
+        has[:, None] & (cols == anchor[:, None]), max_slots=vis.shape[0]
+    )
+    plan = make_plan(
+        vis & (cols != anchor[:, None]), max_slots=plan_slots
+    )
     return pages, plan, plan_a
 
 
@@ -280,6 +296,7 @@ def photometric_objective_paged(
     ref: jax.Array,
     vis: jax.Array,
     texture_size: int,
+    plan_slots: int | None = None,
 ):
     """All-views batched objective f(params (B, K, 3)) -> (B, K).
 
@@ -289,7 +306,7 @@ def photometric_objective_paged(
     single-pass (B, V) score grid instead of anchor-pinned chunks.
     """
     B, V = vis.shape
-    pages, plan, plan_a = _paged_loop_invariants(images, vis)
+    pages, plan, plan_a = _paged_loop_invariants(images, vis, plan_slots)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
     anchor = jnp.argmax(vis, axis=1).astype(jnp.int32)
     payload = vis & (cols != anchor[:, None])  # (B, V)
@@ -380,6 +397,28 @@ def _sliced(fn_jit, images, cameras, state, texture_size, config):
     these batch sizes. Slices are padded to one fixed shape so every
     dispatch hits the same compiled program.
     """
+    import numpy as np
+
+    def _plan_bound(st):
+        """Bucketed static payload-slot bound for the paged planner.
+
+        Computed on the CONCRETE mask outside jit (sum(vis) is traced
+        inside), rounded up to a power of two so the bound adds at most
+        a handful of compiled shapes. Without it the plan sizes to B*V
+        and at scan visibility half the kernel grid is empty padding
+        (PAGED_BREAKDOWN_r05.json).
+        """
+        if isinstance(st.vis, jax.core.Tracer):
+            # Under an OUTER jit the mask is traced and no concrete
+            # bound exists — fall back to the worst case (callers that
+            # wrap these stages in their own jit keep round-3 planning).
+            return None
+        n = int(np.asarray(jnp.sum(st.vis)))
+        cap = 512
+        while cap < n:
+            cap *= 2
+        return min(cap, st.capacity * st.vis.shape[1])
+
     B = state.capacity
     mb = config.max_refine_batch
     if mb <= 0 or B <= mb:
@@ -403,9 +442,19 @@ def _sliced(fn_jit, images, cameras, state, texture_size, config):
                     ),
                     state,
                 )
-                out = fn_jit(images, cameras, padded, texture_size, config)
+                out = fn_jit(
+                    images, cameras, padded, texture_size, config,
+                    plan_slots=_plan_bound(padded),
+                )
                 return jax.tree.map(lambda a: a[:B], out)
-        return fn_jit(images, cameras, state, texture_size, config)
+        return fn_jit(
+            images, cameras, state, texture_size, config,
+            plan_slots=(
+                _plan_bound(state)
+                if jax.default_backend() != "cpu"
+                else None
+            ),
+        )
     outs = []
     for lo in range(0, B, mb):
         sl = jax.tree.map(lambda a: a[lo : lo + mb], state)
@@ -417,7 +466,14 @@ def _sliced(fn_jit, images, cameras, state, texture_size, config):
                 ),
                 sl,
             )
-        out = fn_jit(images, cameras, sl, texture_size, config)
+        out = fn_jit(
+            images, cameras, sl, texture_size, config,
+            plan_slots=(
+                _plan_bound(sl)
+                if jax.default_backend() != "cpu"
+                else None
+            ),
+        )
         # Serialize slices: async dispatch would hold every slice's
         # multi-GB execution workspace live at once, which is the point
         # of slicing to avoid. The host sync costs microseconds against
@@ -445,13 +501,16 @@ def filter_by_error(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("texture_size", "config"))
+@functools.partial(
+    jax.jit, static_argnames=("texture_size", "config", "plan_slots")
+)
 def _filter_by_error_jit(
     images: jax.Array,
     cameras: Cameras,
     state: PatchState,
     texture_size: int,
     config: OptimizeConfig = OptimizeConfig(),
+    plan_slots: int | None = None,
 ) -> PatchState:
     """NCC visibility pruning + patch rejection (optimization.cpp:98-132).
 
@@ -463,7 +522,7 @@ def _filter_by_error_jit(
     """
     _check_impl(config.sampling_impl)
     return _filter_by_error_paged(images, cameras, state, texture_size,
-                                  config)
+                                  config, plan_slots)
 
 
 def _filter_by_error_paged(
@@ -472,6 +531,7 @@ def _filter_by_error_paged(
     state: PatchState,
     texture_size: int,
     config: OptimizeConfig,
+    plan_slots: int | None = None,
 ) -> PatchState:
     """`_filter_by_error_jit` on the single-pass (B, V) score grid.
 
@@ -481,9 +541,16 @@ def _filter_by_error_paged(
     scorable views or fewer than `min_visible_views` remaining.
     """
     B, V = state.vis.shape
+    if plan_slots is not None:
+        pages, plan, plan_a = _paged_loop_invariants(
+            images, state.vis, plan_slots
+        )
+    else:
+        pages = plan = plan_a = None
     scores, anchor, _ = _allview_scores(
         images, cameras, state.position, state.normal, state.ref,
         state.vis, texture_size,
+        pages=pages, plan=plan, plan_a=plan_a,
     )
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
     has = jnp.any(state.vis, axis=1)
@@ -519,13 +586,16 @@ def optimize_patches(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("texture_size", "config"))
+@functools.partial(
+    jax.jit, static_argnames=("texture_size", "config", "plan_slots")
+)
 def _optimize_patches_jit(
     images: jax.Array,
     cameras: Cameras,
     state: PatchState,
     texture_size: int,
     config: OptimizeConfig = OptimizeConfig(),
+    plan_slots: int | None = None,
 ) -> PatchState:
     """Batched (depth, roll, pitch) refinement of every patch.
 
@@ -542,6 +612,7 @@ def _optimize_patches_jit(
         state.ref,
         state.vis,
         texture_size,
+        plan_slots=plan_slots,
     )
     B = state.capacity
     x0 = jnp.zeros((B, 3), state.position.dtype)

@@ -112,25 +112,28 @@ def bench_shape(name, num_views, H, W, B, vis_frac, k, reps=20):
     # floor
     measure("floor", lambda s: s, ())
 
+    # Big buffers ride as jit OPERANDS: closure-captured arrays embed as
+    # constants in the program the tunnel ships to its remote compiler
+    # (a 400 MB page stack at scan shapes overflows the request limit).
     measure(
         "full",
-        lambda s, pos: P.paged_all_scores(
+        lambda s, pos, pages: P.paged_all_scores(
             images, cams, pos + s * 1e-4, nrm, refs, vis, k,
             pages=pages, plan=plan, plan_a=plan_a,
         )[0].sum() * 1e-6,
-        (pos,),
+        (pos, pages),
     )
     measure(
         "kernels",
-        lambda s, xs_p, xs_a: (
+        lambda s, pages, packed_p, packed_a: (
             P.paged_centered_textures(
-                pages, plan.page, row0_p, packed_p, k
+                pages, plan.page, row0_p, packed_p + s * 1e-6, k
             )[:, 0].sum()
             + P.paged_centered_textures(
-                pages, plan_a.page, row0_a, packed_a, k
+                pages, plan_a.page, row0_a, packed_a + s * 1e-6, k
             )[:, 0].sum()
-        ) * 1e-6 + s * 0.0,
-        (xs_p, xs_a),
+        ) * 1e-6,
+        (pages, packed_p, packed_a),
     )
     measure(
         "geometry",
