@@ -65,7 +65,11 @@ def bench_shape(name, num_views, H, W, B, vis_frac, k, reps=20):
     has = jnp.any(vis, axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (B, num_views), 1)
     plan_a = P.make_plan(has[:, None] & (cols == anchor[:, None]), max_slots=B)
-    plan = P.make_plan(vis & (cols != anchor[:, None]))
+    # Bucketed payload bound, as the production _sliced path passes.
+    bound = 512
+    while bound < int(np.sum(vis_np)):
+        bound *= 2
+    plan = P.make_plan(vis & (cols != anchor[:, None]), max_slots=bound)
     n_slots = int(np.sum(vis_np)) + 0  # payload+anchor ~ sum(vis)
 
     Hp, Wp, nxb = P.page_dims(images.shape)
