@@ -414,10 +414,18 @@ def _sliced(fn_jit, images, cameras, state, texture_size, config):
             # wrap these stages in their own jit keep round-3 planning).
             return None
         n = int(np.asarray(jnp.sum(st.vis)))
-        cap = 512
-        while cap < n:
-            cap *= 2
-        return min(cap, st.capacity * st.vis.shape[1])
+        # THREE levels tied to B*V — N/4, N/2, N — never free powers of
+        # two: each (batch bucket, plan bound) pair is a separate
+        # compiled program, and free pow2 bounds multiplied the big-
+        # program compile count at DTU scale (a rerun measured expand
+        # 508 -> 874 s from the fresh shape variety alone). N/2 still
+        # halves the schedule at scan visibility (~50%).
+        N = st.capacity * st.vis.shape[1]
+        if n <= N // 4:
+            return N // 4
+        if n <= N // 2:
+            return N // 2
+        return None
 
     B = state.capacity
     mb = config.max_refine_batch
